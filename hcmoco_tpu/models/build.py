@@ -1,0 +1,198 @@
+"""Model assembly + registry.
+
+Reference: `pycontrast/networks/build_backbone.py` — `build_model(opt)` /
+NAME_TO_FUNC (:516-566) keyed on modal+arch; the flagship HCMoCo model is
+`CMC3HRNetSGCNSingleHead` (:186-303) = HRNet(RGB) + HRNet(depth) + SemGCN with
+per-encoder pooled projection heads and optional 1x1 "linear feat map" convs
+for the stage-2 dense losses.
+
+TPU-first deltas: NHWC everywhere, outputs returned as a dict (instead of the
+reference's positional-tuple modes), and the depth encoder consumes the
+replicated-to-3ch depth exactly as the reference does (dataset.py:149,243) so
+exported stems remain downstream-compatible.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.config import TrainConfig, HRNET_CONFIGS
+from .hrnet import HRNet, merge_all_res
+from .sgcn import SemGCN
+from .heads import ProjectionHead, l2_normalize
+from .resnet import make_resnet
+
+Dtype = Any
+
+
+def _pool(feats: Sequence[jnp.ndarray], method: str) -> jnp.ndarray:
+    """Pool each of the 4 HRNet maps globally and concat (270-d for W18).
+    Reference: forward pooling loop (build_backbone.py:266-281)."""
+    pooled = []
+    for f in feats:
+        f32 = f.astype(jnp.float32)
+        pooled.append(
+            jnp.mean(f32, axis=(1, 2)) if method == "mean"
+            else jnp.max(f32, axis=(1, 2))
+        )
+    return jnp.concatenate(pooled, axis=-1)
+
+
+class HCMoCoModel(nn.Module):
+    """The flagship tri-modal model (CMC3HRNetSGCNSingleHead).
+
+    Inputs:
+      rgbd: (B, H, W, 6) NHWC — rgb(3) + depth replicated to 3ch
+      skeleton: (B, J, 2) normalized 2D joints
+    Output dict:
+      feat1/feat2/feat3: (B, 128) L2-normalized projections
+      pooled1/pooled2/pooled3: pre-head pooled features (test mode)
+      fm1/fm2: lists of 4 HRNet maps (when return_fm)
+      merge1/merge2, linear_merge1/linear_merge2: dense maps (when
+        return_fm and linear_feat_map), stride 4, NHWC
+    """
+
+    width: int = 18
+    feat_dim: int = 128
+    head: str = "linear"
+    in_channel_list: Tuple[int, ...] = (3, 3)
+    linear_feat_map: bool = False
+    pool_method: str = "mean"
+    skeleton_meta: str = "mpii"
+    sgcn_dim: int = 128
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, rgbd: jnp.ndarray, skeleton: jnp.ndarray,
+                 train: bool = True, return_fm: bool = False,
+                 project: bool = True) -> Dict[str, jnp.ndarray]:
+        hr_cfg = HRNET_CONFIGS[self.width]
+        c1 = self.in_channel_list[0]
+        x1 = rgbd[..., :c1]
+        x2 = rgbd[..., c1:c1 + self.in_channel_list[1]]
+
+        fm1 = HRNet(hr_cfg, dtype=self.dtype, name="encoder1")(x1, train)
+        fm2 = HRNet(hr_cfg, dtype=self.dtype, name="encoder2")(x2, train)
+        fj = SemGCN(self.sgcn_dim, 4, self.skeleton_meta,
+                    name="encoder3")(skeleton, train)
+
+        pooled1 = _pool(fm1, self.pool_method)
+        pooled2 = _pool(fm2, self.pool_method)
+        pooled3 = jnp.mean(fj.astype(jnp.float32), axis=1)
+
+        out: Dict[str, Any] = {
+            "pooled1": pooled1, "pooled2": pooled2, "pooled3": pooled3,
+        }
+        if project:
+            out["feat1"] = ProjectionHead(self.feat_dim, self.head,
+                                          name="head1")(pooled1)
+            out["feat2"] = ProjectionHead(self.feat_dim, self.head,
+                                          name="head2")(pooled2)
+            out["feat3"] = ProjectionHead(self.feat_dim, self.head,
+                                          name="head3")(pooled3)
+
+        if return_fm:
+            out["fm1"] = fm1
+            out["fm2"] = fm2
+            out["fm3"] = fj
+            if self.linear_feat_map:
+                merge1 = merge_all_res(fm1)
+                merge2 = merge_all_res(fm2)
+                lin1 = nn.Conv(self.sgcn_dim, (1, 1), use_bias=True,
+                               dtype=self.dtype, name="encoder1_linear")
+                lin2 = nn.Conv(self.sgcn_dim, (1, 1), use_bias=True,
+                               dtype=self.dtype, name="encoder2_linear")
+                out["merge1"], out["merge2"] = merge1, merge2
+                out["linear_merge1"] = lin1(merge1).astype(jnp.float32)
+                out["linear_merge2"] = lin2(merge2).astype(jnp.float32)
+        return out
+
+
+class SingleModalModel(nn.Module):
+    """RGBSingleHead analog (build_backbone.py:14-58): ResNet + proj head."""
+
+    arch: str = "resnet50"
+    feat_dim: int = 128
+    head: str = "linear"
+    in_channel: int = 3
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, project: bool = True):
+        enc = make_resnet(self.arch, in_channel=self.in_channel,
+                          dtype=self.dtype)
+        pooled = enc.copy(name="encoder")(x, train)
+        out = {"pooled": pooled}
+        if project:
+            out["feat"] = ProjectionHead(self.feat_dim, self.head,
+                                         name="head")(pooled)
+        return out
+
+
+class CMCDualModel(nn.Module):
+    """CMCSingleHead analog (build_backbone.py:85-147): channel-split two
+    ResNets + per-modality heads."""
+
+    arch: str = "resnet50"
+    feat_dim: int = 128
+    head: str = "linear"
+    in_channel_list: Tuple[int, ...] = (1, 2)
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, project: bool = True):
+        c1 = self.in_channel_list[0]
+        x1, x2 = x[..., :c1], x[..., c1:]
+        p1 = make_resnet(self.arch, in_channel=c1,
+                         dtype=self.dtype).copy(name="encoder1")(x1, train)
+        p2 = make_resnet(self.arch, in_channel=self.in_channel_list[1],
+                         dtype=self.dtype).copy(name="encoder2")(x2, train)
+        out = {"pooled1": p1, "pooled2": p2}
+        if project:
+            out["feat1"] = ProjectionHead(self.feat_dim, self.head,
+                                          name="head1")(p1)
+            out["feat2"] = ProjectionHead(self.feat_dim, self.head,
+                                          name="head2")(p2)
+        return out
+
+
+def build_model(cfg: TrainConfig) -> nn.Module:
+    """Registry dispatch; key = modal + arch (build_backbone.py:516-546)."""
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    if cfg.modal == "RGBD2S":
+        if cfg.arch == "HRNet":
+            return HCMoCoModel(
+                width=cfg.width,
+                feat_dim=cfg.feat_dim,
+                head=cfg.head,
+                in_channel_list=tuple(cfg.in_channel_list[:2]) or (3, 3),
+                linear_feat_map=cfg.linear_feat_map,
+                pool_method=cfg.pool_method,
+                skeleton_meta=cfg.skeleton_meta_name,
+                dtype=dtype,
+            )
+        if cfg.arch == "HRNetPN":
+            from .pointnet2_model import HCMoCoPNModel
+
+            return HCMoCoPNModel(
+                width=cfg.width,
+                feat_dim=cfg.feat_dim,
+                head=cfg.head,
+                linear_feat_map=cfg.linear_feat_map,
+                pool_method=cfg.pool_method,
+                skeleton_meta=cfg.skeleton_meta_name,
+                dtype=dtype,
+            )
+        raise NotImplementedError(f"arch {cfg.arch} for RGBD2S")
+    if cfg.modal == "CMC":
+        return CMCDualModel(arch=cfg.arch, feat_dim=cfg.feat_dim,
+                            head=cfg.head,
+                            in_channel_list=tuple(cfg.in_channel_list),
+                            dtype=dtype)
+    if cfg.modal == "RGB":
+        return SingleModalModel(arch=cfg.arch, feat_dim=cfg.feat_dim,
+                                head=cfg.head, dtype=dtype)
+    raise NotImplementedError(f"modal {cfg.modal}")

@@ -1,0 +1,256 @@
+"""HRNetV2 backbone in Flax (NHWC, TPU-native).
+
+Behavioral spec: the reference torch implementation at
+`pycontrast/networks/official_hrnet/official_hrnet.py` (HighResolutionModule
+:105-249, HighResolutionNet :258-474) with the W18/32/48 stage layouts from the
+bundled seg YAMLs (`get_hrnet_w{18,32,48}_backbone` :484-503).  Returns the
+list of 4 multi-resolution feature maps (strides 4/8/16/32); no classification
+head (the reference's is commented out, official_hrnet.py:310-327,444-452).
+
+TPU-first choices: NHWC layout, bf16 compute with fp32 params/BN statistics,
+static shapes throughout so XLA can tile every conv onto the MXU, bilinear
+fuse upsampling via `jax.image.resize` (align_corners=False semantics,
+matching torch's default `F.interpolate(mode='bilinear')`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.config import HRNetConfig, HRNetStageSpec
+
+Dtype = Any
+
+
+def _resize_bilinear(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Bilinear resize on NHWC, align_corners=False (half-pixel centers)."""
+    if x.shape[1] == h and x.shape[2] == w:
+        return x
+    out = jax.image.resize(
+        x.astype(jnp.float32), (x.shape[0], h, w, x.shape[3]), method="bilinear"
+    )
+    return out.astype(x.dtype)
+
+
+class ConvBN(nn.Module):
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    use_relu: bool = False
+    bn_momentum: float = 0.99
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(self.kernel // 2, self.kernel // 2)] * 2,
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.bn_momentum,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            name="bn",
+        )(x)
+        if self.use_relu:
+            x = nn.relu(x)
+        return x
+
+
+class BasicBlock(nn.Module):
+    """3x3-3x3 residual block (official_hrnet.py:32-61); expansion 1."""
+
+    features: int
+    stride: int = 1
+    downsample: bool = False
+    bn_momentum: float = 0.99
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        residual = x
+        out = ConvBN(self.features, 3, self.stride, True, self.bn_momentum,
+                     self.dtype, name="cb1")(x, train)
+        out = ConvBN(self.features, 3, 1, False, self.bn_momentum,
+                     self.dtype, name="cb2")(out, train)
+        if self.downsample:
+            residual = ConvBN(self.features, 1, self.stride, False,
+                              self.bn_momentum, self.dtype,
+                              name="downsample")(x, train)
+        return nn.relu(out + residual)
+
+
+class Bottleneck(nn.Module):
+    """1x1-3x3-1x1 residual block (official_hrnet.py:64-102); expansion 4."""
+
+    features: int
+    stride: int = 1
+    downsample: bool = False
+    bn_momentum: float = 0.99
+    dtype: Dtype = jnp.bfloat16
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        residual = x
+        out = ConvBN(self.features, 1, 1, True, self.bn_momentum,
+                     self.dtype, name="cb1")(x, train)
+        out = ConvBN(self.features, 3, self.stride, True, self.bn_momentum,
+                     self.dtype, name="cb2")(out, train)
+        out = ConvBN(self.features * self.expansion, 1, 1, False,
+                     self.bn_momentum, self.dtype, name="cb3")(out, train)
+        if self.downsample:
+            residual = ConvBN(self.features * self.expansion, 1, self.stride,
+                              False, self.bn_momentum, self.dtype,
+                              name="downsample")(x, train)
+        return nn.relu(out + residual)
+
+
+_BLOCKS = {"BASIC": (BasicBlock, 1), "BOTTLENECK": (Bottleneck, 4)}
+
+
+class HRModule(nn.Module):
+    """One HighResolutionModule: per-branch residual blocks + full fusion.
+
+    Fusion (official_hrnet.py:177-249): j>i upsample = 1x1 conv+BN then
+    bilinear; j<i downsample = chained stride-2 3x3 conv+BN(+ReLU except the
+    last); diagonal identity; SUM-fused then ReLU.
+    """
+
+    spec: HRNetStageSpec
+    in_channels: Tuple[int, ...]
+    multi_scale_output: bool = True
+    bn_momentum: float = 0.99
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, xs: Sequence[jnp.ndarray], train: bool):
+        spec = self.spec
+        block_cls, expansion = _BLOCKS[spec.block]
+        nb = spec.num_branches
+        out_ch = [c * expansion for c in spec.num_channels]
+
+        # branches
+        ys = []
+        for i in range(nb):
+            x = xs[i]
+            for b in range(spec.num_blocks[i]):
+                need_ds = b == 0 and self.in_channels[i] != out_ch[i]
+                x = block_cls(
+                    spec.num_channels[i],
+                    downsample=need_ds,
+                    bn_momentum=self.bn_momentum,
+                    dtype=self.dtype,
+                    name=f"branch{i}_block{b}",
+                )(x, train)
+            ys.append(x)
+
+        if nb == 1:
+            return ys
+
+        # fuse
+        n_out = nb if self.multi_scale_output else 1
+        fused = []
+        for i in range(n_out):
+            h, w = ys[i].shape[1], ys[i].shape[2]
+            acc = ys[i]
+            for j in range(nb):
+                if j == i:
+                    continue
+                if j > i:
+                    t = ConvBN(out_ch[i], 1, 1, False, self.bn_momentum,
+                               self.dtype, name=f"fuse{i}_{j}")(ys[j], train)
+                    acc = acc + _resize_bilinear(t, h, w)
+                else:
+                    t = ys[j]
+                    for k in range(i - j):
+                        last = k == i - j - 1
+                        t = ConvBN(
+                            out_ch[i] if last else out_ch[j],
+                            3, 2, not last, self.bn_momentum, self.dtype,
+                            name=f"fuse{i}_{j}_{k}",
+                        )(t, train)
+                    acc = acc + t
+            fused.append(nn.relu(acc))
+        return fused
+
+
+class HRNet(nn.Module):
+    """HRNetV2 backbone. Input NHWC; returns 4 feature maps (NHWC)."""
+
+    config: HRNetConfig
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True):
+        cfg = self.config
+        bnm = cfg.bn_momentum
+        x = x.astype(self.dtype)
+
+        # stem: two stride-2 3x3 convs (official_hrnet.py:265-272)
+        x = ConvBN(cfg.stem_channels, 3, 2, True, bnm, self.dtype,
+                   name="stem1")(x, train)
+        x = ConvBN(cfg.stem_channels, 3, 2, True, bnm, self.dtype,
+                   name="stem2")(x, train)
+
+        # stage 1: Bottleneck x4 at 64 -> 256 channels
+        s1 = cfg.stage1
+        block_cls, expansion = _BLOCKS[s1.block]
+        ch = s1.num_channels[0]
+        for b in range(s1.num_blocks[0]):
+            need_ds = b == 0 and x.shape[-1] != ch * expansion
+            x = block_cls(ch, downsample=need_ds, bn_momentum=bnm,
+                          dtype=self.dtype, name=f"layer1_block{b}")(x, train)
+        pre_channels = [ch * expansion]
+
+        xs = [x]
+        for si, spec in ((2, cfg.stage2), (3, cfg.stage3), (4, cfg.stage4)):
+            block_cls, expansion = _BLOCKS[spec.block]
+            cur_channels = [c * expansion for c in spec.num_channels]
+            # transition (official_hrnet.py:331-365)
+            new_xs = []
+            for i in range(spec.num_branches):
+                if i < len(pre_channels):
+                    if pre_channels[i] != cur_channels[i]:
+                        t = ConvBN(cur_channels[i], 3, 1, True, bnm,
+                                   self.dtype,
+                                   name=f"transition{si - 1}_{i}")(xs[i], train)
+                    else:
+                        t = xs[i]
+                else:
+                    t = xs[-1]
+                    for j in range(i + 1 - len(pre_channels)):
+                        out = (cur_channels[i]
+                               if j == i - len(pre_channels) else t.shape[-1])
+                        t = ConvBN(out, 3, 2, True, bnm, self.dtype,
+                                   name=f"transition{si - 1}_{i}_{j}")(t, train)
+                new_xs.append(t)
+            xs = new_xs
+            in_ch = tuple(cur_channels)
+            for m in range(spec.num_modules):
+                xs = HRModule(
+                    spec, in_ch, multi_scale_output=True, bn_momentum=bnm,
+                    dtype=self.dtype, name=f"stage{si}_module{m}",
+                )(xs, train)
+            pre_channels = cur_channels
+
+        return xs
+
+
+def merge_all_res(feats: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """Upsample maps 1-3 to map-0 resolution (bilinear, align_corners=False)
+    and concat on channels.  Reference: `merge_all_res`
+    (build_backbone.py:247-254)."""
+    h, w = feats[0].shape[1], feats[0].shape[2]
+    ups = [feats[0]] + [_resize_bilinear(f, h, w) for f in feats[1:]]
+    return jnp.concatenate(ups, axis=-1)

@@ -1,0 +1,125 @@
+"""Model golden-parity tests.
+
+Golden numbers were extracted once from the reference torch implementation
+(`/root/reference/pycontrast/networks/`) on CPU:
+  - HRNet-W18 backbone: 9,562,260 params; 64x64 input ->
+    [(18,16,16),(36,8,8),(72,4,4),(144,2,2)] (NCHW)
+  - SemGCN(mpii, hid=128, layers=4): 299,468 params; (B,16,2)->(B,16,128)
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hcmoco_tpu.core.config import HRNET_W18, TrainConfig, resolve_config
+from hcmoco_tpu.models.hrnet import HRNet, merge_all_res
+from hcmoco_tpu.models.sgcn import SemGCN, skeleton_adjacency
+from hcmoco_tpu.models.build import HCMoCoModel, build_model
+from hcmoco_tpu.models.heads import l2_normalize, gaussian_blur_nhwc
+
+
+def n_params(tree):
+    return sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(tree))
+
+
+class TestHRNet:
+    def test_param_count_matches_reference(self):
+        model = HRNet(HRNET_W18, dtype=jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 64, 64, 3)), train=False)
+        assert n_params(variables["params"]) == 9_562_260
+
+    def test_output_shapes(self):
+        model = HRNet(HRNET_W18, dtype=jnp.float32)
+        x = jnp.zeros((2, 64, 64, 3))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        outs = model.apply(variables, x, train=False,
+                           mutable=False)
+        shapes = [o.shape for o in outs]
+        assert shapes == [(2, 16, 16, 18), (2, 8, 8, 36),
+                          (2, 4, 4, 72), (2, 2, 2, 144)]
+
+    def test_merge_all_res(self):
+        feats = [jnp.zeros((2, 16, 16, 18)), jnp.zeros((2, 8, 8, 36)),
+                 jnp.zeros((2, 4, 4, 72)), jnp.zeros((2, 2, 2, 144))]
+        merged = merge_all_res(feats)
+        assert merged.shape == (2, 16, 16, 270)
+
+
+class TestSemGCN:
+    def test_param_count_matches_reference(self):
+        model = SemGCN(128, 4, "mpii")
+        variables = model.init(jax.random.PRNGKey(0),
+                               jnp.zeros((1, 16, 2)), train=False)
+        assert n_params(variables["params"]) == 299_468
+
+    def test_output_shape(self):
+        model = SemGCN(128, 4, "mpii")
+        x = jnp.ones((2, 16, 2))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        out = model.apply(variables, x, train=False)
+        assert out.shape == (2, 16, 128)
+
+    def test_coco_reduce_joints(self):
+        model = SemGCN(64, 2, "coco_reduce")
+        x = jnp.ones((2, 13, 2))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        assert model.apply(variables, x, train=False).shape == (2, 13, 64)
+
+    def test_adjacency_row_normalized(self):
+        a = skeleton_adjacency("mpii")
+        assert a.shape == (16, 16)
+        np.testing.assert_allclose(a.sum(1), 1.0, rtol=1e-5)
+        # symmetric support
+        assert ((a > 0) == (a > 0).T).all()
+
+
+class TestHCMoCoModel:
+    def test_forward_shapes(self):
+        model = HCMoCoModel(width=18, linear_feat_map=True,
+                            dtype=jnp.float32)
+        rgbd = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 6))
+        skel = jax.random.normal(jax.random.PRNGKey(4), (2, 16, 2))
+        variables = model.init(jax.random.PRNGKey(0), rgbd, skel,
+                               train=False, return_fm=True)
+        out = model.apply(variables, rgbd, skel, train=False, return_fm=True)
+        assert out["feat1"].shape == (2, 128)
+        assert out["feat2"].shape == (2, 128)
+        assert out["feat3"].shape == (2, 128)
+        assert out["pooled1"].shape == (2, 270)
+        assert out["linear_merge1"].shape == (2, 16, 16, 128)
+        assert out["linear_merge2"].shape == (2, 16, 16, 128)
+        # projections live on the unit sphere
+        np.testing.assert_allclose(
+            np.linalg.norm(out["feat1"], axis=-1), 1.0, rtol=1e-4)
+
+    def test_build_model_registry(self):
+        cfg = resolve_config(TrainConfig(method="CMCRGBD2S", arch="HRNet",
+                                         in_channel_list=(3, 3)))
+        model = build_model(cfg)
+        assert isinstance(model, HCMoCoModel)
+
+    def test_bn_stats_update_in_train_mode(self):
+        model = HCMoCoModel(width=18, dtype=jnp.float32)
+        rgbd = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 6))
+        skel = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 2))
+        variables = model.init(jax.random.PRNGKey(0), rgbd, skel, train=False)
+        _, mutated = model.apply(variables, rgbd, skel, train=True,
+                                 mutable=["batch_stats"])
+        before = jax.tree_util.tree_leaves(variables["batch_stats"])
+        after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+        assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+class TestHeads:
+    def test_l2_normalize(self):
+        x = jnp.array([[3.0, 4.0]])
+        np.testing.assert_allclose(l2_normalize(x),
+                                   [[0.6, 0.8]], rtol=1e-6)
+
+    def test_gaussian_blur_preserves_shape_and_mass(self):
+        x = jnp.ones((1, 8, 8, 4))
+        y = gaussian_blur_nhwc(x, 5, 1.0)
+        assert y.shape == x.shape
+        np.testing.assert_allclose(np.asarray(y), 1.0, rtol=1e-5)
