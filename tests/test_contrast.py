@@ -1,0 +1,218 @@
+"""Golden parity tests for the contrastive memory engine and HCMoCo losses.
+
+`tests/golden/contrast_golden.npz` was generated once by running the
+reference torch math (`pycontrast/memory/mem_bank.py`,
+`pycontrast/learning/contrast_trainer.py`) on CPU with fixed inputs and a
+pinned multinomial sample (see SURVEY.md §4's prescription (2)).
+
+Note: the reference `accuracy` helper reports percentages (learning/util.py,
+`mul_(100/bsz)`); ours reports fractions — tests scale accordingly.
+Feature maps here are NCHW in the golden file and transposed to NHWC.
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hcmoco_tpu.contrast.memory import (
+    MemoryState, init_memory, sample_negative_indices, memory_logits,
+    update_memory, cmc3_forward, init_moco, moco_logits, moco_enqueue,
+)
+from hcmoco_tpu.contrast.losses import (
+    nce_loss_and_acc, compute_loss_accuracy, soft_pri3d_loss,
+    joints_pri3d_loss, cross_subject_scl_loss,
+)
+
+GOLDEN = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                              "contrast_golden.npz"))
+
+
+def nhwc(x):
+    return jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+
+
+class TestMemoryBank:
+    def test_logits_match_reference(self):
+        bank = jnp.asarray(GOLDEN["bank0"])
+        x = jnp.asarray(GOLDEN["x"])
+        idx = jnp.asarray(GOLDEN["idx"])
+        for dense in (True, False):
+            lg = memory_logits(x, bank, idx, 0.07, dense_scores=dense)
+            np.testing.assert_allclose(np.asarray(lg), GOLDEN["logits"],
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_update_matches_reference_with_duplicates(self):
+        bank = jnp.asarray(GOLDEN["bank0"])
+        new_bank = update_memory(bank, jnp.asarray(GOLDEN["x"]),
+                                 jnp.asarray(GOLDEN["y"]), m=0.5)
+        # y has a duplicate index (3): torch index_copy_ keeps the last
+        # write; jnp .at[].set does too.
+        np.testing.assert_allclose(np.asarray(new_bank),
+                                   GOLDEN["bank_updated"],
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_negative_sampling_positive_in_col0(self):
+        y = jnp.arange(5)
+        idx = sample_negative_indices(jax.random.PRNGKey(0), y, 100, 16)
+        assert idx.shape == (5, 17)
+        np.testing.assert_array_equal(np.asarray(idx[:, 0]), np.arange(5))
+        assert (np.asarray(idx) >= 0).all() and (np.asarray(idx) < 100).all()
+
+    def test_cmc3_forward_shapes_and_update(self):
+        rng = jax.random.PRNGKey(0)
+        state = init_memory(rng, 3, 64, 8)
+        feats = jax.random.normal(jax.random.PRNGKey(1), (3, 4, 8))
+        feats = feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
+        y = jnp.array([0, 1, 2, 3])
+        logits, new_state = cmc3_forward(
+            state, feats, y, feats, y, jax.random.PRNGKey(2),
+            k=15, temperature=0.07)
+        assert len(logits) == 6
+        assert all(l.shape == (4, 16) for l in logits)
+        # banks changed at the updated rows and rows stay unit-norm
+        assert not np.allclose(np.asarray(new_state.banks[0][0]),
+                               np.asarray(state.banks[0][0]))
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(new_state.banks), axis=-1), 1.0,
+            rtol=1e-5)
+
+
+class TestMoCoQueue:
+    def test_logits_layout(self):
+        q = jnp.ones((2, 4))
+        k = jnp.ones((2, 4))
+        queue = jnp.zeros((8, 4))
+        lg = moco_logits(q, k, queue, 1.0)
+        assert lg.shape == (2, 9)
+        np.testing.assert_allclose(np.asarray(lg[:, 0]), 4.0)
+        np.testing.assert_allclose(np.asarray(lg[:, 1:]), 0.0)
+
+    def test_ring_pointer_wraps(self):
+        state = init_moco(jax.random.PRNGKey(0), 1, k=8, dim=4)
+        keys = jnp.arange(1, 25, dtype=jnp.float32).reshape(1, 6, 4) / 10
+        s1 = moco_enqueue(state, keys)
+        assert int(s1.ptr) == 6
+        s2 = moco_enqueue(s1, keys)
+        assert int(s2.ptr) == 4  # (6+6) % 8
+        # second batch wraps: positions (6,7,0,1,2,3) <- keys[0..5]
+        np.testing.assert_allclose(np.asarray(s2.queues[0, 0]),
+                                   np.asarray(keys[0, 2]))
+        np.testing.assert_allclose(np.asarray(s2.queues[0, 6]),
+                                   np.asarray(keys[0, 0]))
+
+
+class TestComputeLossAccuracy:
+    def test_use_depth_masking_matches_reference(self):
+        logits = [jnp.asarray(l) for l in GOLDEN["ca_logits"]]
+        losses, accs = compute_loss_accuracy(
+            logits, use_depth=jnp.asarray(GOLDEN["use_depth"]))
+        np.testing.assert_allclose(np.asarray(jnp.stack(losses)),
+                                   GOLDEN["ca_losses"], rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(jnp.stack(accs)) * 100,
+                                   GOLDEN["ca_accs"], rtol=1e-4)
+
+    def test_use_rgb_and_depth_masking_matches_reference(self):
+        logits = [jnp.asarray(l) for l in GOLDEN["ca_logits"]]
+        losses, accs = compute_loss_accuracy(
+            logits,
+            use_depth=jnp.asarray(GOLDEN["use_depth"]),
+            use_rgb=jnp.asarray(GOLDEN["use_rgb"]))
+        np.testing.assert_allclose(np.asarray(jnp.stack(losses)),
+                                   GOLDEN["ca2_losses"], rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(jnp.stack(accs)) * 100,
+                                   GOLDEN["ca2_accs"], rtol=1e-4)
+
+    def test_all_depth_missing_gives_zero_for_masked(self):
+        logits = [jnp.asarray(l) for l in GOLDEN["ca_logits"]]
+        losses, _ = compute_loss_accuracy(
+            logits, use_depth=jnp.zeros(3, jnp.int32))
+        for l in losses[:4]:
+            np.testing.assert_allclose(float(l), 0.0, atol=1e-7)
+        for l in losses[4:]:
+            assert float(l) > 0
+
+
+class TestSoftPri3D:
+    def test_matches_reference(self):
+        losses, accs = soft_pri3d_loss(
+            jax.random.PRNGKey(0),
+            nhwc(GOLDEN["m1"]), nhwc(GOLDEN["m2"]),
+            jnp.asarray(GOLDEN["dmask"]),
+            num_samples=6, temperature=0.07,
+            use_depth=jnp.asarray(GOLDEN["use_depth"]),
+            sample_ind=jnp.asarray(GOLDEN["fixed_ind"]),
+        )
+        np.testing.assert_allclose(float(losses[0]), GOLDEN["sp_loss0"],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(float(losses[1]), GOLDEN["sp_loss1"],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(float(accs[0]), GOLDEN["sp_acc0"],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(float(accs[1]), GOLDEN["sp_acc1"],
+                                   rtol=1e-4)
+
+    def test_no_valid_depth_gives_zero(self):
+        losses, accs = soft_pri3d_loss(
+            jax.random.PRNGKey(0),
+            nhwc(GOLDEN["m1"]), nhwc(GOLDEN["m2"]),
+            jnp.zeros_like(jnp.asarray(GOLDEN["dmask"])),
+            num_samples=6, temperature=0.07,
+        )
+        assert float(losses[0]) == 0.0 and float(losses[1]) == 0.0
+
+    def test_sampling_only_picks_valid_pixels(self):
+        b, h, w = 2, 8, 8
+        mask = np.zeros((b, 32, 32), np.float32)
+        mask[:, :4, :4] = 1  # maps to feature pixel (0, 0) only
+        m = jnp.ones((b, h, w, 4))
+        losses, _ = soft_pri3d_loss(
+            jax.random.PRNGKey(1), m, m, jnp.asarray(mask),
+            num_samples=4, temperature=0.07)
+        # all sampled pixels identical -> soft target uniform, logits equal
+        assert np.isfinite(float(losses[0]))
+
+
+class TestJointsPri3D:
+    def test_matches_reference(self):
+        losses, accs = joints_pri3d_loss(
+            nhwc(GOLDEN["m1"]), nhwc(GOLDEN["m2"]),
+            jnp.asarray(GOLDEN["joint_feat"]),
+            jnp.asarray(GOLDEN["joints2d"]),
+            jnp.asarray(GOLDEN["joints_vis"]),
+            temperature=0.07,
+            use_depth=jnp.asarray(GOLDEN["use_depth"]),
+        )
+        np.testing.assert_allclose(float(losses[0]), GOLDEN["j_loss0"],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(float(losses[1]), GOLDEN["j_loss1"],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(float(accs[0]), GOLDEN["j_acc0"],
+                                   rtol=1e-4)
+        np.testing.assert_allclose(float(accs[1]), GOLDEN["j_acc1"],
+                                   rtol=1e-4)
+
+
+class TestCrossSubjectSCL:
+    def test_matches_reference(self):
+        loss = cross_subject_scl_loss(
+            nhwc(GOLDEN["m1"]), nhwc(GOLDEN["m2"]),
+            jnp.asarray(GOLDEN["joints2d"]),
+            use_depth=jnp.asarray(GOLDEN["use_depth"]),
+            use_rgb=jnp.asarray(GOLDEN["use_rgb"]),
+            temperature=0.07,
+        )
+        np.testing.assert_allclose(float(loss), GOLDEN["scl_loss"],
+                                   rtol=1e-4)
+
+    def test_zero_when_no_depth(self):
+        loss = cross_subject_scl_loss(
+            nhwc(GOLDEN["m1"]), nhwc(GOLDEN["m2"]),
+            jnp.asarray(GOLDEN["joints2d"]),
+            use_depth=jnp.zeros(3, jnp.int32),
+            use_rgb=jnp.asarray(GOLDEN["use_rgb"]),
+            temperature=0.07,
+        )
+        np.testing.assert_allclose(float(loss), 0.0, atol=1e-7)
