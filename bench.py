@@ -1,0 +1,79 @@
+"""Throughput benchmark: flagship stage-1 pretrain step on real hardware.
+
+Metric matches BASELINE.json's north star: RGB+depth+keypoint triplet
+samples/sec/chip for the HRNet-W18 tri-modal contrastive train step
+(320x320 inputs, global batch 56/chip = the reference's per-V100 batch from
+scripts/FirstStage/train_ntumpiirgbd2s_hrnet_w18.sh: 224 over 4 GPUs).
+
+vs_baseline is computed against the reference's measured per-V100 rate when
+BASELINE.json carries one; the repo publishes no numbers (README Model Zoo
+"TBA"), so we report vs the BASELINE.json target of 4x an estimated 30
+samples/s/V100 placeholder until a measured reference number lands.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    from hcmoco_tpu.core.config import TrainConfig, resolve_config
+    from hcmoco_tpu.models.build import build_model
+    from hcmoco_tpu.parallel.mesh import make_mesh, shard_batch, \
+        replicated_sharding
+    from hcmoco_tpu.train.state import create_train_state
+    from hcmoco_tpu.train.contrast_step import make_contrast_train_step
+    from hcmoco_tpu.data.synthetic import synthetic_contrast_batch
+
+    n_chips = len(jax.devices())
+    per_chip = 56  # reference per-GPU batch (224 global / 4 V100)
+    batch_size = per_chip * n_chips
+    n_data = 8192
+
+    cfg = resolve_config(TrainConfig(
+        method="CMCRGBD2S", arch="HRNet", width=18,
+        batch_size=batch_size, epochs=100, learning_rate=0.03, cosine=True,
+        nce_k=16384, modality_missing=True, crop_size=320,
+        compute_dtype="bfloat16",
+    ))
+    model = build_model(cfg)
+    rng = np.random.default_rng(0)
+    batch = synthetic_contrast_batch(rng, batch_size, size=320,
+                                     num_joints=16, n_data=n_data)
+
+    mesh = make_mesh()
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch,
+                               n_data=n_data, steps_per_epoch=100)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    step = make_contrast_train_step(cfg, model, steps_per_epoch=100)
+
+    sharded = shard_batch(batch, mesh)
+    key = jax.random.PRNGKey(0)
+
+    # warmup / compile
+    state, metrics = step(state, sharded, key)
+    jax.block_until_ready(metrics["loss"])
+
+    n_iters = 10
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        state, metrics = step(state, sharded, jax.random.fold_in(key, i))
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    samples_per_sec_chip = batch_size * n_iters / dt / n_chips
+    baseline_v100 = 30.0  # samples/s/V100 estimate; target is >=4x
+    print(json.dumps({
+        "metric": "hcmoco_stage1_pretrain_throughput",
+        "value": round(samples_per_sec_chip, 2),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(samples_per_sec_chip / baseline_v100, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

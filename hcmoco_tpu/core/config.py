@@ -74,7 +74,18 @@ HRNET_W18 = _hrnet(18)
 HRNET_W32 = _hrnet(32)
 HRNET_W48 = _hrnet(48)
 
-HRNET_CONFIGS = {18: HRNET_W18, 32: HRNET_W32, 48: HRNET_W48}
+# A miniature variant (width 4, one module / one block per stage) for unit
+# tests and sharding dry-runs on the virtual CPU mesh — structurally
+# identical, ~1000x cheaper to compile.
+HRNET_TINY = HRNetConfig(
+    width=4,
+    stage1=HRNetStageSpec(1, 1, "BOTTLENECK", (1,), (8,)),
+    stage2=HRNetStageSpec(1, 2, "BASIC", (1, 1), (4, 8)),
+    stage3=HRNetStageSpec(1, 3, "BASIC", (1, 1, 1), (4, 8, 16)),
+    stage4=HRNetStageSpec(1, 4, "BASIC", (1, 1, 1, 1), (4, 8, 16, 32)),
+)
+
+HRNET_CONFIGS = {18: HRNET_W18, 32: HRNET_W32, 48: HRNET_W48, 4: HRNET_TINY}
 
 
 # ---------------------------------------------------------------------------

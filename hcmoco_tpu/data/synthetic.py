@@ -1,0 +1,68 @@
+"""Synthetic data source emitting batches with the exact field layout of the
+NTUMPII GCN dataset 9-tuple (`pycontrast/datasets/dataset.py:614-617`,
+renamed per train/contrast_step.py).  Used by unit tests, the sharding
+dry-run, and `bench.py` (isolates device throughput from disk IO).
+
+Statistical shape mimics the real pipeline: ImageNet-normalized RGB, mean-
+subtracted depth with a validity mask, root-centered scale-normalized 2D
+joints, ~50% MPII-like samples with no real depth (`true_depth=0`)."""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator
+
+import numpy as np
+
+
+def synthetic_contrast_batch(
+    rng: np.random.Generator,
+    batch_size: int,
+    size: int = 320,
+    num_joints: int = 16,
+    n_data: int = 4096,
+    depth_ratio: float = 0.5,
+) -> Dict[str, np.ndarray]:
+    b, s, j = batch_size, size, num_joints
+    rgb = rng.standard_normal((b, s, s, 3), dtype=np.float32)
+    use_depth = (rng.random(b) < depth_ratio).astype(np.int32)
+    depth_mask = (rng.random((b, s, s)) > 0.4).astype(np.float32)
+    depth_mask *= use_depth[:, None, None]
+    depth = rng.standard_normal((b, s, s), dtype=np.float32) * depth_mask
+    rgbd = np.concatenate(
+        [rgb, np.repeat(depth[..., None], 3, axis=-1)], axis=-1)
+
+    skeleton = rng.uniform(-1, 1, (b, j, 2)).astype(np.float32)
+    joints2d = rng.uniform(0, s, (b, j, 2)).astype(np.float32)
+    joints_vis = (rng.random((b, j)) > 0.2).astype(np.int32)
+    joints2d = joints2d * joints_vis[..., None]
+
+    return {
+        "rgbd": rgbd,
+        "index": rng.integers(0, n_data, b).astype(np.int32),
+        "skeleton": skeleton,
+        "joints3d": rng.standard_normal((b, j, 3)).astype(np.float32),
+        "joints2d": joints2d,
+        "joints_vis": joints_vis,
+        "use_depth": use_depth,
+        "depth_mask": depth_mask,
+        "scale": rng.uniform(0.5, 2.0, b).astype(np.float32),
+        "use_rgb": np.ones(b, np.int32),
+    }
+
+
+class SyntheticContrastSource:
+    """Infinite iterator of synthetic batches (host numpy)."""
+
+    def __init__(self, batch_size: int, size: int = 320,
+                 num_joints: int = 16, n_data: int = 4096, seed: int = 0):
+        self.batch_size = batch_size
+        self.size = size
+        self.num_joints = num_joints
+        self.n_data = n_data
+        self._rng = np.random.default_rng(seed)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        while True:
+            yield synthetic_contrast_batch(
+                self._rng, self.batch_size, self.size, self.num_joints,
+                self.n_data)

@@ -1,0 +1,239 @@
+"""The jitted contrastive pre-training step (stages 1 & 2 + moco).
+
+Behavioral spec: `pycontrast/learning/contrast_trainer.py` —
+`_train_mem_skeleton3d` (:532-640, stage 1), `_train_bank_joints_pri3d_cmc3`
+(:894-1039, stage 2), `_train_moco` (:255-392) — re-designed as ONE pure
+function (state, batch, rng) -> (state, metrics) compiled once by XLA:
+
+  * the reference's per-step `dist.all_gather` of features+indices
+    (:577-579, :949-951) disappears: the program is written in the global
+    batch view; GSPMD inserts the all-gather over ICI where the replicated
+    memory-bank update consumes sharded per-example features.
+  * DDP's gradient all-reduce becomes the implicit psum of the global-mean
+    loss gradient.
+  * the memory-bank EMA update is a deterministic functional scatter applied
+    identically on every shard — the same replicated-bank invariant the
+    reference maintains via broadcast-once + identical updates.
+  * BatchNorm statistics are computed over the GLOBAL batch (sync-BN).  The
+    reference uses per-GPU BN in the bank paths; cross-replica stats are the
+    TPU-native choice and remove the need for ShuffleBN (documented delta,
+    SURVEY.md §7 hard-part 5).
+  * all data-dependent python branches (`use_depth.sum()==0` etc.) are
+    masked arithmetic inside the losses (see contrast/losses.py).
+
+Batch dict fields (from datasets/dataset.py:614-617 9-tuple, renamed):
+  rgbd (B,H,W,6) f32 | index (B,) i32 | skeleton (B,J,2) f32 |
+  joints3d (B,J,3) | joints2d (B,J,2) original-res (row,col) |
+  joints_vis (B,J) i32 | use_depth (B,) i32 (true_depth) |
+  depth_mask (B,H,W) f32 | scale (B,) f32 | use_rgb (B,) i32 (optional)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.config import TrainConfig
+from ..contrast.memory import (
+    MemoryState, cmc3_forward, memory_logits, sample_negative_indices,
+    update_memory, moco_logits, moco_enqueue,
+)
+from ..contrast.losses import (
+    compute_loss_accuracy, soft_pri3d_loss, joints_pri3d_loss,
+    cross_subject_scl_loss, nce_loss_and_acc,
+)
+from .state import TrainState, make_optimizer
+
+
+def _apply(model, params, batch_stats, *args, train=True, **kwargs):
+    variables = {"params": params}
+    if batch_stats:
+        variables["batch_stats"] = batch_stats
+    out, mutated = model.apply(
+        variables, *args, train=train, mutable=["batch_stats"], **kwargs)
+    return out, mutated.get("batch_stats", batch_stats)
+
+
+def _scl_grouped(lm1, lm2, joints2d, use_depth, use_rgb, temperature,
+                 groups: int):
+    """Cross-subject SCL, optionally over `groups` equal batch slices to
+    reproduce the reference's per-GPU-batch positives (DDP computes SCL on
+    the local batch only).  groups=1 = whole global batch."""
+    if groups <= 1:
+        return cross_subject_scl_loss(lm1, lm2, joints2d, use_depth,
+                                      use_rgb, temperature)
+    b = lm1.shape[0]
+    g = groups
+    bs = b // g
+
+    def one(args):
+        m1, m2, j2, ud, ur = args
+        return cross_subject_scl_loss(m1, m2, j2, ud, ur, temperature)
+
+    losses = jax.vmap(lambda m1, m2, j2, ud, ur: cross_subject_scl_loss(
+        m1, m2, j2, ud, ur, temperature))(
+        lm1.reshape(g, bs, *lm1.shape[1:]),
+        lm2.reshape(g, bs, *lm2.shape[1:]),
+        joints2d.reshape(g, bs, *joints2d.shape[1:]),
+        use_depth.reshape(g, bs),
+        use_rgb.reshape(g, bs),
+    )
+    return losses.mean()
+
+
+def make_contrast_train_step(cfg: TrainConfig, model,
+                             steps_per_epoch: int,
+                             scl_groups: int = 1):
+    """Build the jittable train step for cfg.mem in
+    {'bank', 'bank+jointspri3d', 'moco'}."""
+    tx, lr_fn = make_optimizer(cfg, steps_per_epoch)
+    stage2 = cfg.mem == "bank+jointspri3d"
+    is_moco = cfg.mem == "moco"
+    tri_modal = cfg.modal == "RGBD2S"
+
+    def loss_fn(params, batch_stats, memory: MemoryState, batch, rng):
+        rngs = jax.random.split(rng, 3)
+        metrics: Dict[str, jnp.ndarray] = {}
+        y = batch["index"]
+        use_depth = batch.get("use_depth") if cfg.modality_missing else None
+        use_rgb = batch.get("use_rgb")
+
+        if tri_modal:
+            out, new_bs = _apply(
+                model, params, batch_stats, batch["rgbd"],
+                batch["skeleton"], train=True,
+                return_fm=stage2 and cfg.linear_feat_map)
+            feats = jnp.stack([out["feat1"], out["feat2"], out["feat3"]])
+            # global view: f == all_f (GSPMD gathers where needed)
+            logits, new_memory = cmc3_forward(
+                memory, feats, y, feats, y, rngs[0],
+                k=cfg.nce_k, temperature=cfg.nce_t, m=cfg.nce_m)
+            losses, accs = compute_loss_accuracy(
+                logits, use_depth=use_depth,
+                use_rgb=use_rgb if stage2 is False else None)
+            names = ["12", "21", "23", "32", "13", "31"]
+        elif cfg.modal == "CMC":
+            out, new_bs = _apply(model, params, batch_stats, batch["rgbd"],
+                                 train=True)
+            idx = sample_negative_indices(rngs[0], y, memory.n_data,
+                                          cfg.nce_k)
+            # CMCMem.forward (mem_bank.py:109-154): cross-modal logits
+            logits = (
+                memory_logits(out["feat1"], memory.banks[1], idx, cfg.nce_t),
+                memory_logits(out["feat2"], memory.banks[0], idx, cfg.nce_t),
+            )
+            banks = jnp.stack([
+                update_memory(memory.banks[0], out["feat1"], y, cfg.nce_m),
+                update_memory(memory.banks[1], out["feat2"], y, cfg.nce_m),
+            ])
+            new_memory = MemoryState(banks=banks)
+            losses, accs = compute_loss_accuracy(logits)
+            names = ["12", "21"]
+        else:  # RGB (InsDis/PIRL): single bank, RGBMem (mem_bank.py:55-90)
+            out, new_bs = _apply(model, params, batch_stats, batch["rgbd"],
+                                 train=True)
+            idx = sample_negative_indices(rngs[0], y, memory.n_data,
+                                          cfg.nce_k)
+            logits = (
+                memory_logits(out["feat"], memory.banks[0], idx, cfg.nce_t),
+            )
+            new_memory = MemoryState(banks=jnp.stack([
+                update_memory(memory.banks[0], out["feat"], y, cfg.nce_m)
+            ]))
+            losses, accs = compute_loss_accuracy(logits)
+            names = ["ins"]
+
+        loss = sum(losses)
+        for n, l, a in zip(names, losses, accs):
+            metrics[f"nce_loss_{n}"] = l
+            metrics[f"nce_acc_{n}"] = a
+
+        if stage2:
+            depth_channel = batch["rgbd"][..., 3]
+            sp_losses, sp_accs = soft_pri3d_loss(
+                rngs[1], out["linear_merge1"], out["linear_merge2"],
+                batch["depth_mask"], cfg.pri3d_num_samples_per_image,
+                cfg.temperature, use_depth=use_depth)
+            j_losses, j_accs = joints_pri3d_loss(
+                out["linear_merge1"], out["linear_merge2"], out["fm3"],
+                batch["joints2d"], batch["joints_vis"], cfg.temperature,
+                use_depth=use_depth)
+            ud = use_depth if use_depth is not None else jnp.ones_like(y)
+            ur = use_rgb if use_rgb is not None else jnp.ones_like(y)
+            scl = _scl_grouped(
+                out["linear_merge1"], out["linear_merge2"],
+                batch["joints2d"], ud, ur, cfg.temperature, scl_groups)
+            # unit-weight sum, matching contrast_trainer.py:980
+            loss = loss + sum(sp_losses) + sum(j_losses) + scl
+            metrics.update(
+                loss_rgb2depth=sp_losses[0], loss_depth2rgb=sp_losses[1],
+                acc_rgb2depth=sp_accs[0], acc_depth2rgb=sp_accs[1],
+                loss_rgb2joint=j_losses[0], loss_d2joint=j_losses[1],
+                acc_rgb2joint=j_accs[0], acc_d2joint=j_accs[1],
+                loss_scl=scl)
+
+        metrics["loss"] = loss
+        return loss, (new_bs, new_memory, metrics)
+
+    @jax.jit
+    def train_step(state: TrainState, batch, rng):
+        (_, (new_bs, new_memory, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(
+            state.params, state.batch_stats, state.memory, batch, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["learning_rate"] = lr_fn(state.step)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt,
+            memory=new_memory,
+        )
+        return new_state, metrics
+
+    def moco_loss_fn(params, params_ema, batch_stats, moco, batch, rng):
+        # two-crop batch: rgbd holds [query | key] stacked on channel? No —
+        # the moco baselines feed two augmented crops (x[:, :3], x[:, 3:])
+        # (contrast_trainer.py:288-293).
+        x = batch["rgbd"]
+        c = x.shape[-1] // 2
+        q_in, k_in = x[..., :c], x[..., c:]
+        out_q, new_bs = _apply(model, params, batch_stats, q_in, train=True)
+        # key encoder: EMA params, no BN-stat mutation, batch permuted
+        # (ShuffleBN analog; with global sync-BN this is belt-and-braces)
+        perm = jax.random.permutation(rng, x.shape[0])
+        inv = jnp.argsort(perm)
+        out_k, _ = _apply(model, params_ema, batch_stats, k_in[perm],
+                          train=False)
+        k_feat = out_k["feat"][inv]
+        logits = moco_logits(out_q["feat"], k_feat, moco.queues[0],
+                             cfg.nce_t)
+        loss, acc = nce_loss_and_acc(logits)
+        new_moco = moco_enqueue(moco, k_feat[None])
+        return loss, (new_bs, new_moco,
+                      {"loss": loss, "nce_acc": acc})
+
+    @jax.jit
+    def moco_train_step(state: TrainState, batch, rng):
+        (_, (new_bs, new_moco, metrics)), grads = jax.value_and_grad(
+            moco_loss_fn, has_aux=True)(
+            state.params, state.params_ema, state.batch_stats, state.moco,
+            batch, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        # momentum encoder EMA (momentum_update, contrast_trainer.py:1041-45)
+        a = cfg.alpha
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p: a * e + (1 - a) * p, state.params_ema, new_params)
+        metrics["learning_rate"] = lr_fn(state.step)
+        return state.replace(
+            step=state.step + 1, params=new_params, batch_stats=new_bs,
+            opt_state=new_opt, moco=new_moco, params_ema=new_ema,
+        ), metrics
+
+    return moco_train_step if is_moco else train_step

@@ -1,0 +1,69 @@
+"""Export-bridge tests: our HRNet params must serialize to the EXACT torch
+key set of the reference backbone (tests/golden/hrnet_w18_torch_keys.txt was
+dumped once from the reference model's state_dict), so downstream HRNet-seg /
+A2J / DensePose checkpoint loading is unchanged (transfer_ckpt.py parity)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hcmoco_tpu.core.config import HRNET_W18
+from hcmoco_tpu.models.hrnet import HRNet
+from hcmoco_tpu.export.transfer import (
+    hrnet_flax_to_torch, hrnet_torch_to_flax,
+)
+
+GOLDEN_KEYS = os.path.join(os.path.dirname(__file__), "golden",
+                           "hrnet_w18_torch_keys.txt")
+
+
+@pytest.fixture(scope="module")
+def w18_variables():
+    model = HRNet(HRNET_W18, dtype=jnp.float32)
+    return model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                      train=False)
+
+
+def load_golden():
+    out = {}
+    with open(GOLDEN_KEYS) as f:
+        for line in f:
+            k, _, shape = line.rstrip("\n").partition("\t")
+            out[k] = tuple(int(s) for s in shape.split(",") if s)
+    return out
+
+
+class TestExportKeyParity:
+    def test_key_set_and_shapes_match_reference(self, w18_variables):
+        sd = hrnet_flax_to_torch(w18_variables["params"],
+                                 w18_variables["batch_stats"])
+        golden = load_golden()
+        ours = {k: tuple(v.shape) for k, v in sd.items()
+                if "num_batches_tracked" not in k}
+        theirs = {k: v for k, v in golden.items()
+                  if "num_batches_tracked" not in k}
+        missing = sorted(set(theirs) - set(ours))
+        extra = sorted(set(ours) - set(theirs))
+        assert not missing, f"missing {len(missing)}: {missing[:8]}"
+        assert not extra, f"extra {len(extra)}: {extra[:8]}"
+        mismatched = [k for k in theirs
+                      if ours[k] != theirs[k] and theirs[k] != ()]
+        assert not mismatched, mismatched[:8]
+
+    def test_roundtrip_preserves_values(self, w18_variables):
+        params = w18_variables["params"]
+        stats = w18_variables["batch_stats"]
+        sd = hrnet_flax_to_torch(params, stats)
+        # perturb so we can detect the load actually happened
+        sd2 = {k: v + 1.0 if v.ndim > 0 else v for k, v in sd.items()}
+        new_p, new_s, n = hrnet_torch_to_flax(sd2, params, stats)
+        assert n > 200  # all convs loaded
+        sd3 = hrnet_flax_to_torch(new_p, new_s)
+        for k in sd:
+            if "num_batches_tracked" in k:
+                continue
+            np.testing.assert_allclose(sd3[k], sd[k] + 1.0, rtol=1e-6,
+                                       err_msg=k)
