@@ -193,6 +193,13 @@ class TrainConfig:
     cmc_loss_weights: float = 1.0
     other_loss_weights: float = 1.0
 
+    # HRNetPN point-cloud branch: original depth frame size for the
+    # back-projection intrinsics (Kinect depth frame, 424x512; the
+    # reference reads these from the batch, dataset.py:1105-1118)
+    pn_ori_h: float = 424.0
+    pn_ori_w: float = 512.0
+    pn_num_points: int = 4096
+
     # precision / parallelism
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"

@@ -36,6 +36,8 @@ def synthetic_contrast_batch(
     joints_vis = (rng.random((b, j)) > 0.2).astype(np.int32)
     joints2d = joints2d * joints_vis[..., None]
 
+    gy, gx = np.meshgrid(np.arange(s), np.arange(s), indexing="xy")
+    grid = np.stack([gx, gy], axis=-1).astype(np.float32)
     return {
         "rgbd": rgbd,
         "index": rng.integers(0, n_data, b).astype(np.int32),
@@ -47,6 +49,10 @@ def synthetic_contrast_batch(
         "depth_mask": depth_mask,
         "scale": rng.uniform(0.5, 2.0, b).astype(np.float32),
         "use_rgb": np.ones(b, np.int32),
+        # HRNetPN extras (dataset.py:1105-1118): crop-tracked original
+        # pixel coords + per-sample depth mean
+        "grid_xy": np.broadcast_to(grid, (b, s, s, 2)).copy(),
+        "depth_mean": rng.uniform(2.0, 4.0, b).astype(np.float32),
     }
 
 

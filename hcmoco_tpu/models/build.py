@@ -184,6 +184,7 @@ def build_model(cfg: TrainConfig) -> nn.Module:
                 linear_feat_map=cfg.linear_feat_map,
                 pool_method=cfg.pool_method,
                 skeleton_meta=cfg.skeleton_meta_name,
+                n_points=cfg.pn_num_points,
                 dtype=dtype,
             )
         raise NotImplementedError(f"arch {cfg.arch} for RGBD2S")

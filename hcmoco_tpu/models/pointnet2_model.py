@@ -1,0 +1,278 @@
+"""PointNet++ MSG encoder + the depth-as-point-cloud HCMoCo variant.
+
+Behavioral spec:
+  * `Pointnet2MSG` (pycontrast/networks/pointnet2_msg.py:10-95): 4 SA-MSG
+    levels (npoints 4096/1024/256/64, dual radii/nsamples, shared MLPs, max
+    pool) + 4 FP levels; returns per-point 128-d features.
+  * `PointnetSAModuleMSG` / `PointnetFPModule`
+    (pointnet2/pointnet2_modules.py:58-156) and `QueryAndGroup`
+    (pointnet2_utils.py:231-275): grouped xyz are centred on the centroid
+    and concatenated before the MLP (use_xyz=True).
+  * `CMC3HRNetSGCNPN2SingleHead` (build_backbone.py:305-514): encoder2 is
+    the point cloud branch; `depth2pts` back-projects valid-depth pixels to
+    world XYZ with intrinsics x=(u-H/2)*z*0.0035 and multinomially samples
+    4096 of them (:379-446); `pts2depth` scatters per-point features back to
+    the pixel grid via three_nn inverse-distance interpolation (:448-455).
+
+TPU layout: channels-LAST everywhere ((B, N, C) points); the SA "shared
+MLP" is a Dense over the channel axis — XLA maps it onto the MXU as a
+(B*M*S, C) matmul.  FPS/ball-query use the Pallas kernels on TPU.
+Point sampling randomness is threaded via the 'points' rng collection.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core.config import HRNET_CONFIGS
+from ..ops.point_ops import (
+    furthest_point_sample, ball_query, gather_points, group_points,
+    three_nn, three_interpolate, interpolation_weights,
+)
+from .hrnet import HRNet, merge_all_res, _resize_bilinear
+from .sgcn import SemGCN
+from .heads import ProjectionHead
+
+Dtype = Any
+
+# architecture constants (pointnet2_msg.py:10-17)
+NPOINTS = (4096, 1024, 256, 64)
+RADIUS = ((0.025, 0.125), (0.125, 0.25), (0.25, 0.5), (0.5, 1.0))
+NSAMPLE = ((16, 32), (16, 32), (16, 32), (16, 32))
+MLPS = (((16, 32), (32, 64)), ((64, 128), (64, 128)),
+        ((128, 256), (128, 256)), ((256, 512), (256, 512)))
+FP_MLPS = ((128, 128), (256, 256), (512, 512), (512, 512))
+
+
+class SharedMLP(nn.Module):
+    """Dense+BN+ReLU stack over the channel (last) axis — the 1x1-conv
+    'SharedMLP' of pytorch_utils.py."""
+
+    features: Sequence[int]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f, use_bias=False, dtype=self.dtype,
+                         name=f"dense{i}")(x)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-5, dtype=self.dtype,
+                             name=f"bn{i}")(x)
+            x = nn.relu(x)
+        return x
+
+
+class SAModuleMSG(nn.Module):
+    """Set-abstraction with multi-scale grouping."""
+
+    npoint: int
+    radii: Sequence[float]
+    nsamples: Sequence[int]
+    mlps: Sequence[Sequence[int]]
+    use_xyz: bool = True
+    point_impl: str = "xla"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xyz, features, train: bool):
+        # xyz: (B, N, 3); features: (B, N, C) or None
+        idx = furthest_point_sample(xyz, self.npoint, impl=self.point_impl)
+        new_xyz = gather_points(xyz, idx)  # (B, M, 3)
+
+        outs = []
+        for i, (r, s) in enumerate(zip(self.radii, self.nsamples)):
+            gidx = ball_query(xyz, new_xyz, r, s, impl=self.point_impl)
+            grouped_xyz = group_points(xyz, gidx) - new_xyz[:, :, None, :]
+            if features is not None:
+                grouped = group_points(features, gidx)
+                if self.use_xyz:
+                    grouped = jnp.concatenate([grouped_xyz, grouped], -1)
+            else:
+                grouped = grouped_xyz
+            h = SharedMLP(self.mlps[i], dtype=self.dtype,
+                          name=f"mlp{i}")(grouped, train)
+            outs.append(jnp.max(h, axis=2))  # max over the sample axis
+        return new_xyz, jnp.concatenate(outs, axis=-1)
+
+
+class FPModule(nn.Module):
+    """Feature propagation: 3-NN inverse-distance interpolation + MLP."""
+
+    mlp: Sequence[int]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, unknown, known, unknown_feats, known_feats,
+                 train: bool):
+        dist2, idx = three_nn(unknown, known)
+        weight = interpolation_weights(dist2)
+        interp = three_interpolate(known_feats, idx, weight)
+        if unknown_feats is not None:
+            interp = jnp.concatenate([interp, unknown_feats], axis=-1)
+        return SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(
+            interp, train)
+
+
+class Pointnet2MSG(nn.Module):
+    """(B, N, 3[+C]) -> (B, N, 128) per-point features."""
+
+    input_channels: int = 0
+    npoints: Tuple[int, ...] = NPOINTS  # override for small-scale tests
+    point_impl: str = "xla"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pointcloud, train: bool = True):
+        xyz = pointcloud[..., :3]
+        feats = pointcloud[..., 3:] if pointcloud.shape[-1] > 3 else None
+
+        l_xyz, l_feats = [xyz], [feats]
+        for k in range(len(self.npoints)):
+            sa = SAModuleMSG(
+                npoint=self.npoints[k], radii=RADIUS[k],
+                nsamples=NSAMPLE[k],
+                mlps=MLPS[k], point_impl=self.point_impl, dtype=self.dtype,
+                name=f"sa{k}")
+            nx, nf = sa(l_xyz[k], l_feats[k], train)
+            l_xyz.append(nx)
+            l_feats.append(nf)
+
+        for i in range(len(FP_MLPS) - 1, -1, -1):
+            fp = FPModule(FP_MLPS[i], dtype=self.dtype, name=f"fp{i}")
+            l_feats[i] = fp(l_xyz[i], l_xyz[i + 1], l_feats[i],
+                            l_feats[i + 1], train)
+        return l_feats[0]
+
+
+def depth2pts(depth: jnp.ndarray, depth_mask: jnp.ndarray,
+              grid_xy: jnp.ndarray, ori_h: float, ori_w: float,
+              mean: jnp.ndarray, rng: jax.Array,
+              n_points: int = 4096):
+    """Back-project + sample the depth point cloud
+    (build_backbone.py:379-446).
+
+    depth: (B, H, W) mean-subtracted depth; grid_xy: (B, H, W, 2) original
+    pixel coords tracked through the crop; mean: (B,) per-sample depth mean.
+    Returns (sampled_pts (B, n, 3), all_pts (B, H*W, 3), sample_ind).
+    Images with no valid depth yield all-zero points (reference zero-fills
+    via the mask scatter, :408-446).
+    """
+    b, h, w = depth.shape
+    z_abs = depth + mean[:, None, None]
+    gx = grid_xy[..., 0].astype(jnp.float32)
+    gy = grid_xy[..., 1].astype(jnp.float32)
+    world_x = (gx - ori_h / 2.0) * z_abs * 0.0035
+    world_y = (ori_w / 2.0 - gy) * z_abs * 0.0035
+    world_z = depth
+    pts = jnp.stack([world_x, world_y, world_z], axis=-1).reshape(b, h * w, 3)
+
+    mask = jax.image.resize(depth_mask.astype(jnp.float32), (b, h, w),
+                            method="nearest").reshape(b, h * w)
+    valid = mask.sum(-1) > 0
+    logp = jnp.where(mask > 0, 0.0, -jnp.inf)
+    safe_logp = jnp.where(valid[:, None], logp, 0.0)
+    sample_ind = jax.random.categorical(
+        rng, safe_logp[:, None, :], axis=-1, shape=(b, n_points))
+    sampled = jnp.take_along_axis(pts, sample_ind[..., None], axis=1)
+    zero = jnp.zeros_like(sampled)
+    sampled = jnp.where(valid[:, None, None], sampled, zero)
+    pts = jnp.where(valid[:, None, None], pts,
+                    jnp.zeros_like(pts))
+    return sampled, pts, sample_ind
+
+
+def pts2depth(sampled_pts: jnp.ndarray, all_pts: jnp.ndarray,
+              feats: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Scatter per-point features back onto the (h, w) grid via 3-NN
+    inverse-distance interpolation (build_backbone.py:448-455).
+    feats: (B, n, C) -> (B, h, w, C)."""
+    dist2, idx = three_nn(all_pts, sampled_pts)
+    weight = interpolation_weights(dist2)
+    interp = three_interpolate(feats, idx, weight)
+    b, _, c = interp.shape
+    return interp.reshape(b, h, w, c)
+
+
+class HCMoCoPNModel(nn.Module):
+    """HRNet(RGB) + PointNet++(depth cloud) + SemGCN (arch='HRNetPN')."""
+
+    width: int = 18
+    feat_dim: int = 128
+    head: str = "linear"
+    linear_feat_map: bool = False
+    pool_method: str = "mean"
+    skeleton_meta: str = "mpii"
+    sgcn_dim: int = 128
+    pn_dim: int = 128
+    n_points: int = 4096
+    point_impl: str = "xla"
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, rgbd, skeleton, depth_mask, grid_xy, ori_h, ori_w,
+                 mean, train: bool = True, return_fm: bool = False,
+                 project: bool = True):
+        hr_cfg = HRNET_CONFIGS[self.width]
+        x1 = rgbd[..., :3]
+        depth = rgbd[..., 3]  # single mean-normalized channel
+
+        fm1 = HRNet(hr_cfg, dtype=self.dtype, name="encoder1")(x1, train)
+
+        rng = self.make_rng("points") if train else jax.random.PRNGKey(0)
+        sampled, all_pts, _ = depth2pts(
+            depth, depth_mask, grid_xy, ori_h, ori_w, mean, rng,
+            self.n_points)
+        npoints = tuple(max(self.n_points // (4 ** k), 1)
+                        for k in range(4))
+        pn = Pointnet2MSG(npoints=npoints, point_impl=self.point_impl,
+                          dtype=jnp.float32, name="encoder2")
+        fm2 = pn(sampled, train)  # (B, n_points, 128)
+
+        fj = SemGCN(self.sgcn_dim, 4, self.skeleton_meta,
+                    name="encoder3")(skeleton, train)
+
+        pooled = []
+        for f in fm1:
+            f32 = f.astype(jnp.float32)
+            pooled.append(jnp.mean(f32, axis=(1, 2))
+                          if self.pool_method == "mean"
+                          else jnp.max(f32, axis=(1, 2)))
+        pooled1 = jnp.concatenate(pooled, axis=-1)
+        pooled2 = jnp.mean(fm2, axis=1)
+        pooled3 = jnp.mean(fj.astype(jnp.float32), axis=1)
+
+        out = {"pooled1": pooled1, "pooled2": pooled2, "pooled3": pooled3}
+        if project:
+            out["feat1"] = ProjectionHead(self.feat_dim, self.head,
+                                          name="head1")(pooled1)
+            out["feat2"] = ProjectionHead(self.feat_dim, self.head,
+                                          name="head2")(pooled2)
+            out["feat3"] = ProjectionHead(self.feat_dim, self.head,
+                                          name="head3")(pooled3)
+        if return_fm:
+            out.update(fm1=fm1, fm2=fm2, fm3=fj)
+            if self.linear_feat_map:
+                merge1 = merge_all_res(fm1)
+                lin1 = nn.Conv(self.sgcn_dim, (1, 1), use_bias=True,
+                               dtype=self.dtype, name="encoder1_linear")
+                out["merge1"] = merge1
+                out["linear_merge1"] = lin1(merge1).astype(jnp.float32)
+                # encoder2_linear is Conv1d+BN+ReLU (build_backbone.py:368)
+                lm2 = SharedMLP((self.sgcn_dim,), dtype=jnp.float32,
+                                name="encoder2_linear")(fm2, train)
+                h, w = rgbd.shape[1], rgbd.shape[2]
+                lm2 = pts2depth(sampled, all_pts, lm2, h, w)
+                # nearest-resize to linear_merge1 resolution (the
+                # reference's F.interpolate default)
+                th, tw = out["linear_merge1"].shape[1:3]
+                lm2 = jax.image.resize(
+                    lm2, (lm2.shape[0], th, tw, lm2.shape[-1]),
+                    method="nearest")
+                out["merge2"] = fm2
+                out["linear_merge2"] = lm2
+        return out

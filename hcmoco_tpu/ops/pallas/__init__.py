@@ -1,0 +1,2 @@
+from .fps import fps_pallas  # noqa: F401
+from .ball_query import ball_query_pallas  # noqa: F401

@@ -49,12 +49,14 @@ from ..contrast.losses import (
 from .state import TrainState, make_optimizer
 
 
-def _apply(model, params, batch_stats, *args, train=True, **kwargs):
+def _apply(model, params, batch_stats, *args, train=True, rngs=None,
+           **kwargs):
     variables = {"params": params}
     if batch_stats:
         variables["batch_stats"] = batch_stats
     out, mutated = model.apply(
-        variables, *args, train=train, mutable=["batch_stats"], **kwargs)
+        variables, *args, train=train, mutable=["batch_stats"],
+        rngs=rngs, **kwargs)
     return out, mutated.get("batch_stats", batch_stats)
 
 
@@ -103,10 +105,21 @@ def make_contrast_train_step(cfg: TrainConfig, model,
         use_rgb = batch.get("use_rgb")
 
         if tri_modal:
-            out, new_bs = _apply(
-                model, params, batch_stats, batch["rgbd"],
-                batch["skeleton"], train=True,
-                return_fm=stage2 and cfg.linear_feat_map)
+            if cfg.arch == "HRNetPN":
+                # point-cloud branch needs crop-tracked pixel coords +
+                # per-sample depth mean (_train_mem_skeleton3d :557-561)
+                out, new_bs = _apply(
+                    model, params, batch_stats, batch["rgbd"],
+                    batch["skeleton"], batch["depth_mask"],
+                    batch["grid_xy"], cfg.pn_ori_h, cfg.pn_ori_w,
+                    batch["depth_mean"], train=True,
+                    rngs={"points": rngs[2]},
+                    return_fm=stage2 and cfg.linear_feat_map)
+            else:
+                out, new_bs = _apply(
+                    model, params, batch_stats, batch["rgbd"],
+                    batch["skeleton"], train=True,
+                    return_fm=stage2 and cfg.linear_feat_map)
             feats = jnp.stack([out["feat1"], out["feat2"], out["feat3"]])
             # global view: f == all_f (GSPMD gathers where needed)
             logits, new_memory = cmc3_forward(

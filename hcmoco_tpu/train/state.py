@@ -53,14 +53,19 @@ def create_train_state(
     steps_per_epoch: int,
 ) -> TrainState:
     init_rng, mem_rng = jax.random.split(rng)
-    kwargs = {}
-    if "skeleton" in example_batch:
+    eb = example_batch
+    if cfg.arch == "HRNetPN":
         variables = model.init(
-            init_rng, example_batch["rgbd"][:1], example_batch["skeleton"][:1],
+            init_rng, eb["rgbd"][:1], eb["skeleton"][:1],
+            eb["depth_mask"][:1], eb["grid_xy"][:1], cfg.pn_ori_h,
+            cfg.pn_ori_w, eb["depth_mean"][:1], train=False,
+            return_fm=cfg.linear_feat_map)
+    elif "skeleton" in eb:
+        variables = model.init(
+            init_rng, eb["rgbd"][:1], eb["skeleton"][:1],
             train=False, return_fm=cfg.linear_feat_map)
     else:
-        variables = model.init(init_rng, example_batch["rgbd"][:1],
-                               train=False)
+        variables = model.init(init_rng, eb["rgbd"][:1], train=False)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
 

@@ -1,0 +1,149 @@
+"""Property tests for the point-cloud ops: numpy brute-force models of the
+CUDA kernel semantics (SURVEY.md §2.4 / §4 prescription (1)) vs both the
+XLA formulation and the Pallas kernels (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hcmoco_tpu.ops.point_ops import (
+    furthest_point_sample, ball_query, gather_points, group_points,
+    three_nn, three_interpolate, interpolation_weights,
+)
+
+
+def np_fps(xyz, npoint):
+    """Brute-force FPS per sampling_gpu.cu:93-253."""
+    b, n, _ = xyz.shape
+    out = np.zeros((b, npoint), np.int32)
+    for bi in range(b):
+        mind = np.full(n, 1e10)
+        last = 0
+        for j in range(1, npoint):
+            d = ((xyz[bi] - xyz[bi, last]) ** 2).sum(-1)
+            mind = np.minimum(mind, d)
+            last = int(np.argmax(mind))
+            out[bi, j] = last
+    return out
+
+
+def np_ball_query(xyz, new_xyz, radius, nsample):
+    """Brute-force first-hit-fill per ball_query_gpu.cu:28-43."""
+    b, m, _ = new_xyz.shape
+    out = np.zeros((b, m, nsample), np.int32)
+    for bi in range(b):
+        for mi in range(m):
+            d2 = ((xyz[bi] - new_xyz[bi, mi]) ** 2).sum(-1)
+            cnt = 0
+            for k in range(xyz.shape[1]):
+                if d2[k] < radius * radius:
+                    if cnt == 0:
+                        out[bi, mi, :] = k
+                    out[bi, mi, cnt] = k
+                    cnt += 1
+                    if cnt >= nsample:
+                        break
+    return out
+
+
+def np_three_nn(unknown, known):
+    b, n, _ = unknown.shape
+    d_out = np.zeros((b, n, 3), np.float32)
+    i_out = np.zeros((b, n, 3), np.int32)
+    for bi in range(b):
+        d2 = ((unknown[bi][:, None] - known[bi][None]) ** 2).sum(-1)
+        idx = np.argsort(d2, axis=-1, kind="stable")[:, :3]
+        i_out[bi] = idx
+        d_out[bi] = np.take_along_axis(d2, idx, axis=-1)
+    return d_out, i_out
+
+
+@pytest.fixture(scope="module")
+def cloud():
+    rng = np.random.default_rng(0)
+    return rng.standard_normal((2, 128, 3)).astype(np.float32)
+
+
+class TestFPS:
+    def test_xla_matches_bruteforce(self, cloud):
+        got = np.asarray(furthest_point_sample(jnp.asarray(cloud), 16))
+        want = np_fps(cloud, 16)
+        np.testing.assert_array_equal(got, want)
+
+    def test_pallas_matches_bruteforce(self, cloud):
+        got = np.asarray(
+            furthest_point_sample(jnp.asarray(cloud), 16, impl="pallas"))
+        want = np_fps(cloud, 16)
+        np.testing.assert_array_equal(got, want)
+
+    def test_full_permutation(self, cloud):
+        idx = np.asarray(furthest_point_sample(jnp.asarray(cloud[:1]), 128))
+        assert sorted(idx[0].tolist()) == list(range(128))
+
+
+class TestBallQuery:
+    @pytest.mark.parametrize("impl", ["xla", "pallas"])
+    def test_matches_bruteforce(self, cloud, impl):
+        centroids = cloud[:, :32]
+        got = np.asarray(ball_query(jnp.asarray(cloud),
+                                    jnp.asarray(centroids), 0.5, 8,
+                                    chunk=16, impl=impl))
+        want = np_ball_query(cloud, centroids, 0.5, 8)
+        np.testing.assert_array_equal(got, want)
+
+    def test_first_hit_fill_underfull(self):
+        # one point inside radius -> all slots get that index
+        xyz = np.zeros((1, 4, 3), np.float32)
+        xyz[0, 1] = [0.1, 0, 0]
+        xyz[0, 2] = [5, 5, 5]
+        xyz[0, 3] = [9, 9, 9]
+        new = np.array([[[0.09, 0, 0]]], np.float32)
+        got = np.asarray(ball_query(jnp.asarray(xyz), jnp.asarray(new),
+                                    0.05, 4))
+        np.testing.assert_array_equal(got[0, 0], [1, 1, 1, 1])
+
+
+class TestGathers:
+    def test_gather_points(self, cloud):
+        idx = jnp.asarray([[0, 5, 7], [1, 2, 3]], jnp.int32)
+        got = np.asarray(gather_points(jnp.asarray(cloud), idx))
+        for bi in range(2):
+            np.testing.assert_array_equal(got[bi],
+                                          cloud[bi, np.asarray(idx)[bi]])
+
+    def test_group_points_and_grad(self, cloud):
+        feats = jnp.asarray(cloud)  # reuse as (B, N, 3) features
+        idx = jnp.zeros((2, 4, 2), jnp.int32)
+
+        def f(x):
+            return group_points(x, idx).sum()
+
+        g = jax.grad(f)(feats)
+        # every group element points at index 0 -> grad accumulates there
+        assert float(g[0, 0, 0]) == pytest.approx(8.0)
+        assert float(g[0, 1, 0]) == 0.0
+
+
+class TestThreeNN:
+    def test_matches_bruteforce(self, cloud):
+        known = cloud[:, :32]
+        d2, idx = three_nn(jnp.asarray(cloud), jnp.asarray(known), chunk=64)
+        want_d, want_i = np_three_nn(cloud, known)
+        np.testing.assert_array_equal(np.asarray(idx), want_i)
+        np.testing.assert_allclose(np.asarray(d2), want_d, rtol=1e-4,
+                                   atol=1e-6)
+
+    def test_interpolate_weighted_sum(self):
+        feats = jnp.asarray(np.eye(4, 5, dtype=np.float32))[None]  # (1,4,5)
+        idx = jnp.asarray([[[0, 1, 2]]], jnp.int32)  # (1,1,3)
+        w = jnp.asarray([[[0.5, 0.3, 0.2]]], jnp.float32)
+        out = np.asarray(three_interpolate(feats, idx, w))
+        np.testing.assert_allclose(out[0, 0, :3], [0.5, 0.3, 0.2],
+                                   rtol=1e-6)
+
+    def test_weights_normalize(self):
+        d2 = jnp.asarray([[[1.0, 1.0, 2.0]]])
+        w = np.asarray(interpolation_weights(d2))
+        np.testing.assert_allclose(w.sum(-1), 1.0, rtol=1e-6)
+        assert w[0, 0, 0] == w[0, 0, 1] > w[0, 0, 2]

@@ -1,0 +1,97 @@
+"""PointNet++ MSG encoder + HRNetPN tri-modal model tests (tiny scales)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hcmoco_tpu.core.config import TrainConfig
+from hcmoco_tpu.models.pointnet2_model import (
+    Pointnet2MSG, HCMoCoPNModel, depth2pts, pts2depth,
+)
+from hcmoco_tpu.models.build import build_model
+from hcmoco_tpu.data.synthetic import synthetic_contrast_batch
+from hcmoco_tpu.train.state import create_train_state
+from hcmoco_tpu.train.contrast_step import make_contrast_train_step
+
+
+class TestPointnet2MSG:
+    def test_forward_shape(self):
+        model = Pointnet2MSG(npoints=(32, 8, 2, 1))
+        pc = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 3))
+        v = model.init(jax.random.PRNGKey(1), pc, train=False)
+        out = model.apply(v, pc, train=False)
+        assert out.shape == (2, 32, 128)
+
+    def test_msg_channel_widths(self):
+        # SA level k output = sum of scale-mlp tails (pointnet2_msg MLPS)
+        model = Pointnet2MSG(npoints=(16, 8, 4, 2))
+        pc = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 3))
+        v = model.init(jax.random.PRNGKey(1), pc, train=False)
+        # just confirm init works and params exist for all 4 SA + 4 FP
+        names = set(v["params"].keys())
+        assert {f"sa{k}" for k in range(4)} <= names
+        assert {f"fp{k}" for k in range(4)} <= names
+
+
+class TestDepthBackprojection:
+    def test_depth2pts_world_coords(self):
+        b, s = 2, 8
+        depth = jnp.ones((b, s, s))
+        mask = jnp.ones((b, s, s))
+        gy, gx = np.meshgrid(np.arange(s), np.arange(s), indexing="xy")
+        grid = jnp.asarray(
+            np.broadcast_to(np.stack([gx, gy], -1), (b, s, s, 2))
+        ).astype(jnp.float32)
+        mean = jnp.full((b,), 2.0)
+        sampled, pts, ind = depth2pts(depth, mask, grid, 424.0, 512.0,
+                                      mean, jax.random.PRNGKey(0), 16)
+        assert sampled.shape == (b, 16, 3)
+        assert pts.shape == (b, s * s, 3)
+        # worldX = (gx - 212) * (1+2) * 0.0035 at pixel (0,0)
+        np.testing.assert_allclose(float(pts[0, 0, 0]),
+                                   (0 - 212.0) * 3.0 * 0.0035, rtol=1e-5)
+        np.testing.assert_allclose(float(pts[0, 0, 2]), 1.0, rtol=1e-6)
+
+    def test_no_valid_depth_gives_zero_points(self):
+        b, s = 2, 8
+        depth = jnp.ones((b, s, s))
+        mask = jnp.zeros((b, s, s))
+        grid = jnp.zeros((b, s, s, 2))
+        sampled, pts, _ = depth2pts(depth, mask, grid, 424.0, 512.0,
+                                    jnp.ones((b,)), jax.random.PRNGKey(0), 8)
+        np.testing.assert_allclose(np.asarray(sampled), 0.0)
+
+    def test_pts2depth_roundtrip(self):
+        # features at the points themselves interpolate back ~exactly
+        b, n, c = 1, 16, 4
+        pts = jax.random.normal(jax.random.PRNGKey(0), (b, n, 3))
+        feats = jax.random.normal(jax.random.PRNGKey(1), (b, n, c))
+        out = pts2depth(pts, pts, feats, 4, 4)
+        assert out.shape == (b, 4, 4, c)
+        np.testing.assert_allclose(np.asarray(out.reshape(b, n, c)),
+                                   np.asarray(feats), rtol=1e-3, atol=1e-4)
+
+
+class TestHRNetPNTrainStep:
+    def test_full_stage2_step(self):
+        cfg = TrainConfig(
+            modal="RGBD2S", arch="HRNetPN", width=4,
+            mem="bank+jointspri3d", linear_feat_map=True,
+            pri3d_num_samples_per_image=8, nce_k=15, batch_size=4,
+            epochs=2, modality_missing=True, compute_dtype="float32",
+            pn_num_points=32,
+        )
+        model = build_model(cfg)
+        batch = synthetic_contrast_batch(
+            np.random.default_rng(0), 4, size=32, num_joints=16, n_data=64)
+        state = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                                   batch, n_data=64, steps_per_epoch=2)
+        step = make_contrast_train_step(cfg, model, steps_per_epoch=2)
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        for enc in ("encoder1", "encoder2", "encoder3"):
+            b0 = jax.tree_util.tree_leaves(state.params[enc])
+            b1 = jax.tree_util.tree_leaves(new_state.params[enc])
+            assert any(not np.allclose(np.asarray(x), np.asarray(y))
+                       for x, y in zip(b0, b1)), enc
