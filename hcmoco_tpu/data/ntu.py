@@ -1,0 +1,196 @@
+"""NTU RGB+D dataset family.
+
+Behavioral spec: `pycontrast/datasets/dataset.py`:
+  * filename transforms: warped-RGB -> masked-depth PNG / parsed-skeleton pkl
+    (dataset.py:85-93, :165-173; the skeleton frame number is 0-based while
+    RGB/depth are 1-based, hence the -1)
+  * NTURGBD: paired RGB+depth, RandomResizedCrop with crop center clamped
+    into the valid-depth bbox, random flip, ImageNet norm, depth/1000
+    replicated x3 (:65-160)
+  * NTURGBD3DSkeleton: + parsed skeleton (root-relative 3D), crop centered
+    on a random point inside the 2D-skeleton bbox with scale (0.08,1.2)
+    ratio (1,1) (:162-250)
+  * NTURGBD3D2DSkeleton: + color-coded joint heatmap channel (:252-304)
+
+All samples are returned as dicts of numpy arrays (HWC float32).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import re
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from .transforms import (
+    IMAGENET_MEAN, IMAGENET_STD, KINECT2MPII, normalize_rgb,
+    random_resized_crop_params, resized_crop, positional_encoding,
+    joint_heatmap_rgb, transform_heatmap,
+)
+
+
+def rgb_to_depth_path(f: str,
+                      prefix: str = "HumanRGBD/NTURGBD/nturgb+d_depth_masked"
+                      ) -> str:
+    f = f.replace("nturgb+d_rgb_warped_correction", prefix)
+    f = f.replace("WRGB", "MDepth")
+    return f.replace("jpg", "png")
+
+
+def rgb_to_skeleton_path(
+    f: str, prefix: str = "HumanRGBD/NTURGBD/nturgb+d_parsed_skeleton"
+) -> str:
+    f = f.replace("nturgb+d_rgb_warped_correction", prefix)
+    f = f.replace("WRGB", "Skeleton")
+    f = f.replace("jpg", "pkl")
+    num = int(f[-12:-4])
+    return f[:-12] + str(num - 1).zfill(8) + f[-4:]
+
+
+def load_depth_png(path: str) -> np.ndarray:
+    """uint16 depth PNG -> raw uint16 array."""
+    return np.array(Image.open(path)).astype(np.uint16)
+
+
+def load_skeleton_pkl(path: str) -> dict:
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+class NTURGBDPairs:
+    """RGB (depth-frame-warped) + masked-depth pairs (NTURGBD)."""
+
+    def __init__(self, root: str, file_list: str, size: int = 320,
+                 random_flip: bool = False, random_resized_crop: bool = False,
+                 seed: int = 0):
+        self.root = root
+        self.files = [f.strip() for f in open(file_list)]
+        self.size = (size, size)
+        self.scale = (0.8, 1.2)
+        self.ratio = (3.0 / 4, 4.0 / 3)
+        self.random_flip = random_flip
+        self.random_resized_crop = random_resized_crop
+        self.image_list = [os.path.join(root, f) for f in self.files]
+        self.depth_list = [os.path.join(root, rgb_to_depth_path(f))
+                           for f in self.files]
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.image_list)
+
+    def _load_pair(self, index):
+        img = Image.open(self.image_list[index]).convert("RGB")
+        depth = load_depth_png(self.depth_list[index])
+        return img, depth
+
+    def __getitem__(self, index) -> Dict[str, np.ndarray]:
+        rng = self._rng
+        img, depth_raw = self._load_pair(index)
+        ind = np.where(depth_raw > 0)
+        xmin, xmax = ind[0].min(), ind[0].max()
+        ymin, ymax = ind[1].min(), ind[1].max()
+        depth = Image.fromarray(depth_raw)
+
+        if self.random_resized_crop:
+            # crop center clamped into the valid-depth bbox (:109-134)
+            i, j, h, w = random_resized_crop_params(
+                rng, img.size[1], img.size[0], self.scale, self.ratio)
+            mid_x = np.clip(i + h / 2.0, xmin, xmax)
+            mid_y = np.clip(j + w / 2.0, ymin, ymax)
+            i = int(mid_x - h / 2.0)
+            j = int(mid_y - w / 2.0)
+            img = resized_crop(img, i, j, h, w, self.size)
+            depth = resized_crop(depth, i, j, h, w, self.size, nearest=True)
+
+        if self.random_flip and rng.random() >= 0.5:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            depth = depth.transpose(Image.FLIP_LEFT_RIGHT)
+
+        rgb = normalize_rgb(np.array(img))
+        d = np.array(depth).astype(np.float32) / 1000.0
+        rgbd = np.concatenate([rgb, np.repeat(d[..., None], 3, -1)], -1)
+        return {"rgbd": rgbd, "index": np.int32(index)}
+
+
+class NTUSkeleton3D(NTURGBDPairs):
+    """+ parsed skeleton; human-centered crop (NTURGBD3DSkeleton)."""
+
+    def __init__(self, root: str, file_list: str, size: int = 320,
+                 random_flip: bool = False, random_resized_crop: bool = False,
+                 seed: int = 0):
+        super().__init__(root, file_list, size, random_flip,
+                         random_resized_crop, seed)
+        self.skeleton_list = [os.path.join(root, rgb_to_skeleton_path(f))
+                              for f in self.files]
+
+    def load_raw(self, index):
+        """Returns (rgbd HWC6, joints3d, skeleton_dict, crop params).
+        Mirrors NTURGBD3DSkeleton.__getitem__(return_resize_param=True)."""
+        rng = self._rng
+        img = Image.open(self.image_list[index]).convert("RGB")
+        depth_raw = load_depth_png(self.depth_list[index])
+        depth = Image.fromarray(depth_raw)
+        original_h, original_w = img.size[1], img.size[0]
+
+        sk = load_skeleton_pkl(self.skeleton_list[index])
+        joints3d = np.array([j for j in sk["joints"][0]["3d_loc"]],
+                            np.float32)
+        joints3d = joints3d - joints3d[0]
+
+        if self.random_resized_crop:
+            joints2d = np.array([j for j in sk["joints"][0]["d_loc"]],
+                                np.float32)
+            hx0, hx1 = joints2d[:, 1].min(), joints2d[:, 1].max()
+            hy0, hy1 = joints2d[:, 0].min(), joints2d[:, 0].max()
+            rand_x = int(rng.integers(int(hx0), max(int(hx1), int(hx0) + 1)))
+            rand_y = int(rng.integers(int(hy0), max(int(hy1), int(hy0) + 1)))
+            _, _, h, w = random_resized_crop_params(
+                rng, img.size[1], img.size[0], (0.08, 1.2), (1.0, 1.0))
+            i = int(rand_x - h / 2.0)
+            j = int(rand_y - w / 2.0)
+            img = resized_crop(img, i, j, h, w, self.size)
+            depth = resized_crop(depth, i, j, h, w, self.size, nearest=True)
+        else:
+            i, j, h, w = 0, 0, img.size[0], img.size[1]
+
+        need_flip = bool(rng.random() >= 0.5)
+        if self.random_flip and need_flip:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            depth = depth.transpose(Image.FLIP_LEFT_RIGHT)
+
+        rgb = normalize_rgb(np.array(img))
+        d = np.array(depth).astype(np.float32) / 1000.0
+        rgbd = np.concatenate([rgb, np.repeat(d[..., None], 3, -1)], -1)
+        params = (i, j, h, w, need_flip, original_h, original_w)
+        return rgbd, joints3d, sk, params
+
+    def __getitem__(self, index):
+        rgbd, joints3d, _, _ = self.load_raw(index)
+        return {"rgbd": rgbd, "index": np.int32(index),
+                "joints3d": joints3d}
+
+
+class NTUHeatmap(NTUSkeleton3D):
+    """+ 3ch color-coded joint heatmap (NTURGBD3D2DSkeleton) -> 9ch."""
+
+    num_joints = 25
+    sigma = 2.0
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.pos_enc = positional_encoding(self.num_joints)
+
+    def __getitem__(self, index):
+        rgbd, joints3d, sk, params = self.load_raw(index)
+        joints2d = np.array([j for j in sk["joints"][0]["d_loc"]],
+                            np.float32)
+        i, j, h, w, flip, oh, ow = params
+        hm = joint_heatmap_rgb(joints2d, oh, ow, self.pos_enc, self.sigma)
+        hm = transform_heatmap(hm, i, j, h, w, self.size,
+                               flip and self.random_flip,
+                               self.random_resized_crop)
+        return {"rgbd": np.concatenate([rgbd, hm], -1),
+                "index": np.int32(index), "joints3d": joints3d}
