@@ -67,6 +67,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--random_flip", type=int, default=None)
     p.add_argument("--not_use_weighted_sampler", action="store_true",
                    default=None)
+    # versatility / segmentation (main_segmentor.py surface)
+    p.add_argument("--n_class", type=int, default=None)
+    p.add_argument("--supervise_type", type=int, default=None)
+    p.add_argument("--test_type", type=int, default=None)
+    p.add_argument("--mask_seg_depth", action="store_true", default=None)
+    p.add_argument("--mask_seg_rgb", action="store_true", default=None)
+    p.add_argument("--cmc_loss_weights", type=float, default=None)
+    p.add_argument("--other_loss_weights", type=float, default=None)
+    p.add_argument("--seg_val_file_list", type=str, default=None)
     p.add_argument("--model_path", type=str, default=None)
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--pretrain", type=str, default=None)
