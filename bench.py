@@ -49,7 +49,8 @@ def main():
     state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch,
                                n_data=n_data, steps_per_epoch=100)
     state = jax.device_put(state, replicated_sharding(mesh))
-    step = make_contrast_train_step(cfg, model, steps_per_epoch=100)
+    step = make_contrast_train_step(cfg, model, steps_per_epoch=100,
+                                    donate=True)
 
     sharded = shard_batch(batch, mesh)
     key = jax.random.PRNGKey(0)

@@ -154,6 +154,7 @@ class TrainConfig:
     alpha: float = 0.999  # moco EMA
     pri3d_num_samples_per_image: int = 400
     modality_missing: bool = False
+    beta: float = 0.5  # PIRL jigsaw-vs-instance weight (train_options.py)
 
     # optimization
     epochs: int = 200

@@ -112,23 +112,34 @@ class HCMoCoModel(nn.Module):
 
 
 class SingleModalModel(nn.Module):
-    """RGBSingleHead analog (build_backbone.py:14-58): ResNet + proj head."""
+    """RGBSingleHead / RGBMultiHeads analog (build_backbone.py:14-83):
+    ResNet + proj head, optional PIRL jigsaw head."""
 
     arch: str = "resnet50"
     feat_dim: int = 128
     head: str = "linear"
     in_channel: int = 3
+    jigsaw: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = True, project: bool = True):
+    def __call__(self, x, train: bool = True, project: bool = True,
+                 x_jig=None, shuffle_ids=None):
         enc = make_resnet(self.arch, in_channel=self.in_channel,
-                          dtype=self.dtype)
-        pooled = enc.copy(name="encoder")(x, train)
+                          dtype=self.dtype).copy(name="encoder")
+        pooled = enc(x, train)
         out = {"pooled": pooled}
         if project:
             out["feat"] = ProjectionHead(self.feat_dim, self.head,
                                          name="head")(pooled)
+        if self.jigsaw and x_jig is not None:
+            from .heads import JigsawHead
+
+            # x_jig: (B*9, h, w, c) patch stack (RGBMultiHeads.forward)
+            pj = enc(x_jig, train)
+            out["feat_jig"] = JigsawHead(self.feat_dim, k=9,
+                                         head=self.head,
+                                         name="head_jig")(pj, shuffle_ids)
         return out
 
 
@@ -195,5 +206,6 @@ def build_model(cfg: TrainConfig) -> nn.Module:
                             dtype=dtype)
     if cfg.modal == "RGB":
         return SingleModalModel(arch=cfg.arch, feat_dim=cfg.feat_dim,
-                                head=cfg.head, dtype=dtype)
+                                head=cfg.head, jigsaw=cfg.jigsaw,
+                                dtype=dtype)
     raise NotImplementedError(f"modal {cfg.modal}")

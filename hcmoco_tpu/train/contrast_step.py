@@ -89,9 +89,14 @@ def _scl_grouped(lm1, lm2, joints2d, use_depth, use_rgb, temperature,
 
 def make_contrast_train_step(cfg: TrainConfig, model,
                              steps_per_epoch: int,
-                             scl_groups: int = 1):
+                             scl_groups: int = 1,
+                             donate: bool = False):
     """Build the jittable train step for cfg.mem in
-    {'bank', 'bank+jointspri3d', 'moco'}."""
+    {'bank', 'bank+jointspri3d', 'moco'}.
+
+    donate=True donates the TrainState buffers to the step (in-place
+    update on device — saves one params+opt+bank copy per step); callers
+    must not reuse the input state afterwards."""
     tx, lr_fn = make_optimizer(cfg, steps_per_epoch)
     stage2 = cfg.mem == "bank+jointspri3d"
     is_moco = cfg.mem == "moco"
@@ -147,18 +152,40 @@ def make_contrast_train_step(cfg: TrainConfig, model,
             losses, accs = compute_loss_accuracy(logits)
             names = ["12", "21"]
         else:  # RGB (InsDis/PIRL): single bank, RGBMem (mem_bank.py:55-90)
+            apply_kw = {}
+            if cfg.jigsaw and "rgbd_jig" in batch:
+                # PIRL: 9 patches/sample + random permutation per image
+                # (JigsawHead.get_shuffle_ids, networks/util.py:115-124)
+                bsz = y.shape[0]
+                perms = jax.vmap(
+                    lambda k: jax.random.permutation(k, 9))(
+                    jax.random.split(rngs[2], bsz))
+                shuffle_ids = (perms
+                               + jnp.arange(bsz)[:, None] * 9).reshape(-1)
+                xj = batch["rgbd_jig"]
+                apply_kw = {"x_jig": xj.reshape(-1, *xj.shape[2:]),
+                            "shuffle_ids": shuffle_ids}
             out, new_bs = _apply(model, params, batch_stats, batch["rgbd"],
-                                 train=True)
+                                 train=True, **apply_kw)
             idx = sample_negative_indices(rngs[0], y, memory.n_data,
                                           cfg.nce_k)
-            logits = (
+            logits = [
                 memory_logits(out["feat"], memory.banks[0], idx, cfg.nce_t),
-            )
+            ]
+            names = ["ins"]
+            if "feat_jig" in out:
+                logits.append(memory_logits(out["feat_jig"],
+                                            memory.banks[0], idx,
+                                            cfg.nce_t))
+                names.append("jig")
             new_memory = MemoryState(banks=jnp.stack([
                 update_memory(memory.banks[0], out["feat"], y, cfg.nce_m)
             ]))
-            losses, accs = compute_loss_accuracy(logits)
-            names = ["ins"]
+            losses, accs = compute_loss_accuracy(tuple(logits))
+            if "feat_jig" in out:
+                # PIRL weighting (contrast_trainer.py:465-467)
+                losses = [(1 - cfg.beta) * losses[0],
+                          cfg.beta * losses[1]]
 
         loss = sum(losses)
         for n, l, a in zip(names, losses, accs):
@@ -192,7 +219,7 @@ def make_contrast_train_step(cfg: TrainConfig, model,
         metrics["loss"] = loss
         return loss, (new_bs, new_memory, metrics)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state: TrainState, batch, rng):
         (_, (new_bs, new_memory, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(
@@ -210,9 +237,8 @@ def make_contrast_train_step(cfg: TrainConfig, model,
         return new_state, metrics
 
     def moco_loss_fn(params, params_ema, batch_stats, moco, batch, rng):
-        # two-crop batch: rgbd holds [query | key] stacked on channel? No —
-        # the moco baselines feed two augmented crops (x[:, :3], x[:, 3:])
-        # (contrast_trainer.py:288-293).
+        # two augmented crops stacked on channels: (x[..., :c], x[..., c:])
+        # (contrast_trainer.py:288-293)
         x = batch["rgbd"]
         c = x.shape[-1] // 2
         q_in, k_in = x[..., :c], x[..., c:]
@@ -223,6 +249,19 @@ def make_contrast_train_step(cfg: TrainConfig, model,
         inv = jnp.argsort(perm)
         out_k, _ = _apply(model, params_ema, batch_stats, k_in[perm],
                           train=False)
+        if cfg.modal == "CMC":
+            # CMCMoCo (mem_moco.py:91-142): cross-modal query-vs-key
+            k1 = jax.lax.stop_gradient(out_k["feat1"][inv])
+            k2 = jax.lax.stop_gradient(out_k["feat2"][inv])
+            lg1 = moco_logits(out_q["feat1"], k2, moco.queues[1], cfg.nce_t)
+            lg2 = moco_logits(out_q["feat2"], k1, moco.queues[0], cfg.nce_t)
+            l1, a1 = nce_loss_and_acc(lg1)
+            l2, a2 = nce_loss_and_acc(lg2)
+            loss = l1 + l2
+            new_moco = moco_enqueue(moco, jnp.stack([k1, k2]))
+            return loss, (new_bs, new_moco,
+                          {"loss": loss, "nce_acc_12": a1,
+                           "nce_acc_21": a2})
         k_feat = out_k["feat"][inv]
         logits = moco_logits(out_q["feat"], k_feat, moco.queues[0],
                              cfg.nce_t)
@@ -231,7 +270,7 @@ def make_contrast_train_step(cfg: TrainConfig, model,
         return loss, (new_bs, new_moco,
                       {"loss": loss, "nce_acc": acc})
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def moco_train_step(state: TrainState, batch, rng):
         (_, (new_bs, new_moco, metrics)), grads = jax.value_and_grad(
             moco_loss_fn, has_aux=True)(

@@ -1,0 +1,96 @@
+"""Baseline method paths: CMC bank, CMC MoCo, PIRL jigsaw (the non-HCMoCo
+presets of the override_dict, base_options.py:12-22)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hcmoco_tpu.core.config import TrainConfig, resolve_config
+from hcmoco_tpu.models.build import build_model
+from hcmoco_tpu.train.state import create_train_state
+from hcmoco_tpu.train.contrast_step import make_contrast_train_step
+
+N_DATA = 32
+
+
+def run_one(cfg, batch):
+    model = build_model(cfg)
+    init_batch = dict(batch)
+    if cfg.mem == "moco":
+        init_batch = {"rgbd": batch["rgbd"][..., :batch["rgbd"].shape[-1]
+                                            // 2]}
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                               init_batch, n_data=N_DATA, steps_per_epoch=2)
+    step = make_contrast_train_step(cfg, model, steps_per_epoch=2)
+    return step(state, batch, jax.random.PRNGKey(1))
+
+
+class TestCMCBank:
+    def test_cmc_two_bank_step(self):
+        cfg = TrainConfig(modal="CMC", arch="resnet18", mem="bank",
+                          nce_k=7, batch_size=4, epochs=2,
+                          in_channel_list=(1, 2),
+                          compute_dtype="float32")
+        rng = np.random.default_rng(0)
+        batch = {
+            "rgbd": rng.standard_normal((4, 32, 32, 3)).astype(np.float32),
+            "index": np.arange(4, dtype=np.int32),
+        }
+        new_state, metrics = run_one(cfg, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        assert "nce_loss_12" in metrics and "nce_loss_21" in metrics
+        assert new_state.memory.banks.shape[0] == 2
+
+
+class TestCMCMoCo:
+    def test_cmc_moco_step(self):
+        cfg = TrainConfig(modal="CMC", arch="resnet18", mem="moco",
+                          nce_k=16, batch_size=4, epochs=2,
+                          in_channel_list=(1, 2),
+                          compute_dtype="float32")
+        rng = np.random.default_rng(0)
+        batch = {
+            # two 3ch crops stacked on channels
+            "rgbd": rng.standard_normal((4, 32, 32, 6)).astype(np.float32),
+            "index": np.arange(4, dtype=np.int32),
+        }
+        new_state, metrics = run_one(cfg, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        assert "nce_acc_12" in metrics
+        assert int(new_state.moco.ptr) == 4
+        assert new_state.moco.queues.shape[0] == 2
+
+
+class TestPIRL:
+    def test_jigsaw_bank_step(self):
+        cfg = resolve_config(TrainConfig(
+            method="PIRL", arch="resnet18", nce_k=7, batch_size=4,
+            epochs=2, compute_dtype="float32"))
+        assert cfg.jigsaw and cfg.mem == "bank"
+        model = build_model(cfg)
+        rng = np.random.default_rng(0)
+        batch = {
+            "rgbd": rng.standard_normal((4, 32, 32, 3)).astype(np.float32),
+            "rgbd_jig": rng.standard_normal(
+                (4, 9, 16, 16, 3)).astype(np.float32),
+            "index": np.arange(4, dtype=np.int32),
+        }
+        state = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                                   {"rgbd": batch["rgbd"]},
+                                   n_data=N_DATA, steps_per_epoch=2)
+        # init with jigsaw inputs so head_jig params exist
+        v = model.init(jax.random.PRNGKey(0), batch["rgbd"][:1],
+                       train=False,
+                       x_jig=batch["rgbd_jig"][:1].reshape(-1, 16, 16, 3),
+                       shuffle_ids=jnp.arange(9))
+        state = state.replace(params=v["params"],
+                              batch_stats=v.get("batch_stats", {}),
+                              opt_state=None)
+        from hcmoco_tpu.train.state import make_optimizer
+        tx, _ = make_optimizer(cfg, 2)
+        state = state.replace(opt_state=tx.init(state.params))
+        step = make_contrast_train_step(cfg, model, steps_per_epoch=2)
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        assert "nce_loss_jig" in metrics
