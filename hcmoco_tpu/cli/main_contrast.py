@@ -90,6 +90,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="stop after N optimizer steps (smoke runs)")
     p.add_argument("--deterministic_data", action="store_true",
                    help="fixed-seed data order for loss-curve parity runs")
+    p.add_argument("--profile_dir", type=str, default="",
+                   help="capture a jax.profiler trace of steps 10-15 "
+                        "into this directory")
     return p
 
 
@@ -193,7 +196,13 @@ def main(argv=None):
         for i in range(steps_per_epoch):
             batch = shard_batch(next(it), mesh)
             step_rng = jax.random.fold_in(data_rng, global_step)
+            if args.profile_dir and global_step == 10:
+                jax.profiler.start_trace(args.profile_dir)
             state, metrics = step_fn(state, batch, step_rng)
+            if args.profile_dir and global_step == 15:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {args.profile_dir}")
             global_step += 1
             logger.log_step(
                 epoch, i, steps_per_epoch,
