@@ -114,6 +114,32 @@ def main(argv=None):
                 {"loss": loss, "top1": top1, "top5": top5,
                  "learning_rate": lr_fn(step)})
 
+    @jax.jit
+    def eval_step(cls_params, batch):
+        feat = model.apply(mv, batch["rgbd"], train=False,
+                           project=False)["pooled"]
+        logits = classifier.apply({"params": cls_params}, feat)
+        k = min(5, cfg.n_class)
+        topk = jnp.argsort(-logits, axis=-1)[:, :k]
+        hit = topk == batch["label"][:, None]
+        return hit[:, 0].sum(), hit.any(-1).sum()
+
+    def validate(cls_params):
+        """LinearTrainer.validate (linear_trainer.py:193-242)."""
+        n1 = n5 = n = 0
+        from ..data.pipeline import collate
+
+        for start in range(0, len(val_ds), cfg.batch_size):
+            items = [val_ds[i] for i in
+                     range(start, min(start + cfg.batch_size,
+                                      len(val_ds)))]
+            b = collate(items)
+            h1, h5 = eval_step(cls_params, b)
+            n1 += int(h1)
+            n5 += int(h5)
+            n += len(items)
+        return n1 / max(n, 1), n5 / max(n, 1)
+
     logger = MetricLogger(None, print_freq=cfg.print_freq)
     cls_params = jax.device_put(cv["params"], replicated_sharding(mesh))
     opt_state = jax.device_put(opt_state, replicated_sharding(mesh))
@@ -131,7 +157,9 @@ def main(argv=None):
                             n=cfg.batch_size)
             if args.max_steps and gstep >= args.max_steps:
                 break
-        print(f"epoch {epoch}, total time {time.time() - t0:.2f}")
+        top1, top5 = validate(cls_params)
+        print(f" * epoch {epoch} Acc@1 {top1:.3f} Acc@5 {top5:.3f} "
+              f"({time.time() - t0:.2f}s)")
         if args.max_steps and gstep >= args.max_steps:
             break
     return cls_params

@@ -149,11 +149,45 @@ def main(argv=None):
         return (optax.apply_updates(params, updates), new_bs, opt2,
                 metrics)
 
+    @jax.jit
+    def predict_step(params, batch_stats, batch):
+        heads = model.apply({"params": params, "batch_stats": batch_stats},
+                            batch["depth"], train=False)
+        return post_process(heads, anchors)
+
+    def evaluate(params, batch_stats):
+        """In-loop PCK@10cm over the test set (A2J/main.py:365-386)."""
+        import scipy.io as scio
+        from .data import evaluation_10cm
+
+        bnd = np.asarray(scio.loadmat(args.bndbox_test)["FRbndbox_test"]) \
+            if args.bndbox_test.endswith(".mat") else \
+            np.asarray(__import__("pickle").load(open(args.bndbox_test,
+                                                      "rb")))
+        test_ds = ITOPDataset(args.test_dir, bnd, augment=False)
+        preds, worlds, means = [], [], []
+        for start in range(0, len(test_ds), args.batch_size):
+            items = [test_ds[i] for i in
+                     range(start, min(start + args.batch_size,
+                                      len(test_ds)))]
+            from ...data.pipeline import collate
+            b = collate(items)
+            preds.append(np.asarray(predict_step(params, batch_stats, b)))
+            worlds.append(b["keypoints_world"])
+            means.append(b["mean"])
+        pred = np.concatenate(preds)
+        # de-normalize depth happens inside evaluation_10cm via means
+        acc, per_joint = evaluation_10cm(
+            pred, np.concatenate(worlds),
+            bnd[: len(pred)], np.concatenate(means), per_joint=True)
+        return acc, per_joint
+
     logger = MetricLogger(None, print_freq=args.print_freq)
     rep = replicated_sharding(mesh)
     params = jax.device_put(params, rep)
     batch_stats = jax.device_put(batch_stats, rep)
     opt_state = jax.device_put(opt_state, rep)
+    best_acc = -1.0
     gstep = 0
     for epoch in range(1, args.epochs + 1):
         logger.reset()
@@ -168,6 +202,13 @@ def main(argv=None):
                             n=args.batch_size)
             if args.max_steps and gstep >= args.max_steps:
                 break
+        if args.test_dir and args.bndbox_test:
+            acc, _ = evaluate(params, batch_stats)
+            flag = ""
+            if acc > best_acc:
+                best_acc = acc
+                flag = " (best)"
+            print(f"epoch {epoch}: PCK@10cm {acc:.4f}{flag}")
         print(f"epoch {epoch}, total time {time.time() - t0:.2f}")
         if args.max_steps and gstep >= args.max_steps:
             break

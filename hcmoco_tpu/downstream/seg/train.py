@@ -44,6 +44,13 @@ def build_argparser():
     p.add_argument("--max_steps", type=int, default=0)
     p.add_argument("--print_freq", type=int, default=10)
     p.add_argument("--eval_flip", action="store_true")
+    p.add_argument("--test_only", action="store_true",
+                   help="testval mode: sliding-window inference on the "
+                        "val list (tools/test.py)")
+    p.add_argument("--test_scales", type=str, default="1.0",
+                   help="comma-separated multi-scale TTA factors")
+    p.add_argument("--restore", type=str, default="",
+                   help="npz weights from a previous run for --test_only")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -125,6 +132,47 @@ def main(argv=None):
 
     loss_impl = ohem_cross_entropy if args.ohem else cross_entropy_seg
 
+    if args.test_only:
+        # testval: per-image sliding-window multi-scale (+flip) inference
+        # (tools/test.py:51-138, base_dataset.multi_scale_inference)
+        from .inference import sliding_window_inference
+        from .datasets import mapped_pairs
+
+        if args.restore:
+            import orbax.checkpoint as ocp
+            raw = ocp.StandardCheckpointer().restore(args.restore)
+            params, batch_stats = raw["params"], raw.get("batch_stats", {})
+            print(f"=> restored weights from {args.restore}")
+
+        scales = tuple(float(s) for s in args.test_scales.split(","))
+        pairs = mapped_pairs() if args.modality == "depth" else None
+
+        def apply_fn(x):
+            return model.apply({"params": params,
+                                "batch_stats": batch_stats}, x,
+                               train=False)
+
+        conf = np.zeros((args.num_classes, args.num_classes), np.float64)
+        import jax.numpy as jnp2
+        for i in range(len(val_ds)):
+            s = val_ds[i]
+            probs = sliding_window_inference(
+                apply_fn, s["image"], args.num_classes,
+                crop_size=(crop, crop), scales=scales,
+                flip=args.eval_flip, flip_pairs=pairs)
+            import cv2
+            pred = cv2.resize(probs, (s["label"].shape[1],
+                                      s["label"].shape[0]),
+                              interpolation=cv2.INTER_LINEAR).argmax(-1)
+            conf += np.asarray(confusion_matrix(
+                jnp2.asarray(pred)[None], jnp2.asarray(s["label"])[None],
+                args.num_classes), np.float64)
+        miou, iou = miou_from_confusion(jnp2.asarray(conf, jnp2.float32))
+        print(f"testval mIoU: {float(miou):.4f}")
+        for ci, v in enumerate(np.asarray(iou)):
+            print(f"  class {ci}: IoU {float(v):.4f}")
+        return None, None
+
     @jax.jit
     def train_step(params, batch_stats, opt_state, step, batch):
         def loss_fn(p):
@@ -194,6 +242,14 @@ def main(argv=None):
         if miou > best_miou:
             best_miou = miou
             flag = " (best)"
+            if args.restore:
+                import os
+                import orbax.checkpoint as ocp
+                path = os.path.abspath(args.restore)
+                ocp.StandardCheckpointer().save(
+                    path, {"params": jax.device_get(params),
+                           "batch_stats": jax.device_get(batch_stats)},
+                    force=True)
         print(f"epoch {epoch}: mIoU {miou:.4f}{flag}, best {best_miou:.4f},"
               f" time {time.time() - t0:.2f}")
         if args.max_steps and gstep >= args.max_steps:
