@@ -93,6 +93,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--profile_dir", type=str, default="",
                    help="capture a jax.profiler trace of steps 10-15 "
                         "into this directory")
+    p.add_argument("--multihost", action="store_true",
+                   help="join a multi-host TPU slice via "
+                        "jax.distributed.initialize (replaces the "
+                        "reference's SLURM rendezvous)")
     return p
 
 
@@ -122,6 +126,12 @@ def main(argv=None):
     cfg = config_from_args(args)
 
     import jax
+
+    if args.multihost:
+        # one line replaces base_trainer.init_ddp_environment's SLURM
+        # scontrol/env parsing (base_trainer.py:20-73): the TPU runtime
+        # discovers peers, the mesh then spans all hosts over DCN.
+        jax.distributed.initialize()
     from ..core.config import to_dict
     from ..models.build import build_model
     from ..parallel.mesh import make_mesh, shard_batch, replicated_sharding
