@@ -133,6 +133,59 @@ class ITOPDataset:
         }
 
 
+def random_erasing(img: np.ndarray, rng: np.random.Generator,
+                   probability: float = 0.5, sl: float = 0.02,
+                   sh: float = 0.4, r1: float = 0.3,
+                   mean: float = 0.0) -> np.ndarray:
+    """Random-erasing augmentation (A2J/random_erasing.py, wired at
+    main.py:210 with p=0.5, sl=0.02, sh=0.4, r1=0.3, mean=[0])."""
+    if rng.random() > probability:
+        return img
+    h, w = img.shape[:2]
+    area = h * w
+    for _ in range(100):
+        target = rng.uniform(sl, sh) * area
+        ratio = rng.uniform(r1, 1.0 / r1)
+        eh = int(round(np.sqrt(target * ratio)))
+        ew = int(round(np.sqrt(target / ratio)))
+        if eh < h and ew < w:
+            y = int(rng.integers(0, h - eh))
+            x = int(rng.integers(0, w - ew))
+            img = img.copy()
+            img[y:y + eh, x:x + ew] = mean
+            return img
+    return img
+
+
+def convert_itop_h5(depth_h5: str, labels_h5: str, out_dir: str,
+                    limit: int = 0) -> int:
+    """ITOP h5 -> per-frame .mat files (A2J/data/data_preprocess.py:16-52):
+    each valid frame saved as {'DepthNormal' (240,320,4) with depth in
+    channel 3, 'keypointsPixel', 'keypointsWorld'}."""
+    import h5py
+    import scipy.io as scio
+
+    os.makedirs(out_dir, exist_ok=True)
+    depth_maps = h5py.File(depth_h5, "r")
+    labels = h5py.File(labels_h5, "r")
+    count = 0
+    n = depth_maps["data"].shape[0]
+    for i in range(n):
+        if not labels["is_valid"][i]:
+            continue
+        dn = np.zeros((240, 320, 4), np.float32)
+        dn[:, :, 3] = depth_maps["data"][i].astype(np.float32)
+        count += 1
+        scio.savemat(os.path.join(out_dir, f"{count}.mat"), {
+            "DepthNormal": dn,
+            "keypointsPixel": labels["image_coordinates"][i],
+            "keypointsWorld": labels["real_world_coordinates"][i],
+        })
+        if limit and count >= limit:
+            break
+    return count
+
+
 def evaluation_10cm(pred: np.ndarray, target_world: np.ndarray,
                     bndbox: np.ndarray, means: np.ndarray,
                     per_joint: bool = False):

@@ -116,8 +116,17 @@ def parse_arch(name: str) -> Tuple[str, int]:
 
 
 def make_resnet(name: str, in_channel: int = 3,
-                dtype: Dtype = jnp.bfloat16) -> ResNet:
+                dtype: Dtype = jnp.bfloat16):
     base, width = parse_arch(name)
+    if base.startswith("resnest"):
+        from .resnest import ResNeSt
+
+        layers = {"resnest50": (3, 4, 6, 3),
+                  "resnest101": (3, 4, 23, 3)}[base]
+        stem = 32 if base == "resnest50" else 64
+        return ResNeSt(layers=layers, stem_width=stem,
+                       in_channel=in_channel, width_mult=width,
+                       dtype=dtype)
     spec = RESNET_SPECS[base]
     return ResNet(in_channel=in_channel, width_mult=width, dtype=dtype,
                   **spec)
