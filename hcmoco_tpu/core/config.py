@@ -180,6 +180,7 @@ class TrainConfig:
     seg_root: str = ""
     seg_file_list: str = ""
     seg_val_file_list: str = ""
+    packed_dir: str = ""  # decode-free memmapped NTU pack (data/packed.py)
     aug: str = "C"
     crop_size: int = 320
     random_flip: bool = False

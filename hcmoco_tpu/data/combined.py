@@ -144,9 +144,10 @@ class NTUMPIIGCN:
                  mpii_image_set: str = "train", size: int = 320,
                  random_flip: bool = False,
                  random_resized_crop: bool = True, seed: int = 0,
-                 with_grid: bool = False):
-        self.ntu = NTUSkeleton3D(ntu_root, ntu_file_list, size, random_flip,
-                                 random_resized_crop, seed)
+                 with_grid: bool = False, ntu_dataset=None):
+        self.ntu = ntu_dataset or NTUSkeleton3D(
+            ntu_root, ntu_file_list, size, random_flip,
+            random_resized_crop, seed)
         self.db = load_mpii_db(mpii_root, mpii_image_set)
         self.size = size
         self.with_grid = with_grid
@@ -186,9 +187,10 @@ class NTUCOCOGCN(NTUMPIIGCN):
                  coco_image_set: str = "train2017", size: int = 320,
                  random_flip: bool = False,
                  random_resized_crop: bool = True, seed: int = 0,
-                 with_grid: bool = False):
-        self.ntu = NTUSkeleton3D(ntu_root, ntu_file_list, size, random_flip,
-                                 random_resized_crop, seed)
+                 with_grid: bool = False, ntu_dataset=None):
+        self.ntu = ntu_dataset or NTUSkeleton3D(
+            ntu_root, ntu_file_list, size, random_flip,
+            random_resized_crop, seed)
         self.db = load_coco_keypoint_db(coco_root, coco_image_set)
         self.size = size
         self.with_grid = with_grid

@@ -126,16 +126,20 @@ class NTUSkeleton3D(NTURGBDPairs):
         self.skeleton_list = [os.path.join(root, rgb_to_skeleton_path(f))
                               for f in self.files]
 
+    def _skeleton_dict(self, index) -> dict:
+        return load_skeleton_pkl(self.skeleton_list[index])
+
     def load_raw(self, index):
         """Returns (rgbd HWC6, joints3d, skeleton_dict, crop params).
-        Mirrors NTURGBD3DSkeleton.__getitem__(return_resize_param=True)."""
+        Mirrors NTURGBD3DSkeleton.__getitem__(return_resize_param=True).
+        Sources come through the _load_pair/_skeleton_dict hooks so the
+        packed (mmap) dataset can substitute decode-free reads."""
         rng = self._rng
-        img = Image.open(self.image_list[index]).convert("RGB")
-        depth_raw = load_depth_png(self.depth_list[index])
+        img, depth_raw = self._load_pair(index)
         depth = Image.fromarray(depth_raw)
         original_h, original_w = img.size[1], img.size[0]
 
-        sk = load_skeleton_pkl(self.skeleton_list[index])
+        sk = self._skeleton_dict(index)
         joints3d = np.array([j for j in sk["joints"][0]["3d_loc"]],
                             np.float32)
         joints3d = joints3d - joints3d[0]

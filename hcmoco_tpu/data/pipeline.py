@@ -96,14 +96,21 @@ def build_contrast_source(cfg):
               random_resized_crop=True, seed=cfg.seed)
     with_grid = cfg.arch == "HRNetPN"
 
+    ntu_dataset = None
+    if cfg.packed_dir:
+        from .packed import PackedNTUSkeleton
+
+        ntu_dataset = PackedNTUSkeleton(cfg.packed_dir, **kw)
+
     if key == "NTUMPIIRGBD2S":
         ds = NTUMPIIGCN(cfg.data_folder, cfg.train_file_list,
-                        cfg.mpii_root, "train", with_grid=with_grid, **kw)
+                        cfg.mpii_root, "train", with_grid=with_grid,
+                        ntu_dataset=ntu_dataset, **kw)
         first_len, second_len = ds.aux_len, len(ds) - ds.aux_len
     elif key == "NTUCOCORGBD2S":
         ds = NTUCOCOGCN(cfg.data_folder, cfg.train_file_list,
                         cfg.coco_root, "train2014", with_grid=with_grid,
-                        **kw)
+                        ntu_dataset=ntu_dataset, **kw)
         first_len, second_len = ds.aux_len, len(ds) - ds.aux_len
     elif key == "NTUSegRGBD2S":
         kw["random_flip"] = False  # seg labels are not flip-aware

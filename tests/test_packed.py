@@ -1,0 +1,50 @@
+"""Packed (decode-free) dataset: byte-identical samples vs the file-based
+pipeline given the same RNG stream."""
+
+import numpy as np
+import pytest
+
+from hcmoco_tpu.data.fixtures import make_ntu_fixture, make_mpii_fixture
+from hcmoco_tpu.data.ntu import NTUSkeleton3D
+from hcmoco_tpu.data.packed import pack_ntu, PackedNTUSkeleton
+from hcmoco_tpu.data.combined import NTUMPIIGCN
+
+
+@pytest.fixture(scope="module")
+def packed(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ntu"))
+    root, lst = make_ntu_fixture(root, n_frames=4)
+    out = str(tmp_path_factory.mktemp("pack"))
+    meta = pack_ntu(root, lst, out)
+    return root, lst, out, meta
+
+
+class TestPack:
+    def test_meta(self, packed):
+        root, lst, out, meta = packed
+        assert meta["n"] == 4
+        assert meta["h"] == 96 and meta["w"] == 128
+
+    def test_samples_identical_to_file_pipeline(self, packed):
+        root, lst, out, _ = packed
+        a = NTUSkeleton3D(root, lst, size=32, random_flip=True,
+                          random_resized_crop=True, seed=5)
+        b = PackedNTUSkeleton(out, size=32, random_flip=True,
+                              random_resized_crop=True, seed=5)
+        for i in range(4):
+            ra, ja, _, pa = a.load_raw(i)
+            rb, jb, _, pb = b.load_raw(i)
+            assert pa == pb  # identical crop decisions
+            np.testing.assert_allclose(ra, rb, atol=1e-6)
+            np.testing.assert_allclose(ja, jb, atol=1e-6)
+
+    def test_combined_dataset_on_pack(self, packed, tmp_path_factory):
+        root, lst, out, _ = packed
+        mpii = make_mpii_fixture(str(tmp_path_factory.mktemp("mpii")))
+        packed_ntu = PackedNTUSkeleton(out, size=32,
+                                       random_resized_crop=True)
+        ds = NTUMPIIGCN(root, lst, mpii, "train", size=32,
+                        random_resized_crop=True, ntu_dataset=packed_ntu)
+        s = ds[len(ds.db)]  # NTU sample through the pack
+        assert s["rgbd"].shape == (32, 32, 6)
+        assert int(s["use_depth"]) == 1
