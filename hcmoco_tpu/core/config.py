@@ -203,6 +203,7 @@ class TrainConfig:
     pn_num_points: int = 4096
 
     # precision / parallelism
+    remat: bool = False  # rematerialize the encoder forward (bigger batch)
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     mesh_shape: Tuple[int, ...] = (-1,)  # -1 = all devices on the data axis

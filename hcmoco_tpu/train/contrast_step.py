@@ -121,10 +121,19 @@ def make_contrast_train_step(cfg: TrainConfig, model,
                     rngs={"points": rngs[2]},
                     return_fm=stage2 and cfg.linear_feat_map)
             else:
-                out, new_bs = _apply(
-                    model, params, batch_stats, batch["rgbd"],
-                    batch["skeleton"], train=True,
-                    return_fm=stage2 and cfg.linear_feat_map)
+                def fwd(p, bs, rgbd, skel):
+                    return _apply(model, p, bs, rgbd, skel, train=True,
+                                  return_fm=stage2 and cfg.linear_feat_map)
+
+                if cfg.remat:
+                    # trade FLOPs for HBM: recompute the encoder forward
+                    # in the backward pass, unlocking larger batches
+                    fwd = jax.checkpoint(
+                        fwd,
+                        policy=jax.checkpoint_policies
+                        .dots_with_no_batch_dims_saveable)
+                out, new_bs = fwd(params, batch_stats, batch["rgbd"],
+                                  batch["skeleton"])
             feats = jnp.stack([out["feat1"], out["feat2"], out["feat3"]])
             # global view: f == all_f (GSPMD gathers where needed)
             logits, new_memory = cmc3_forward(
