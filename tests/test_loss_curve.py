@@ -1,0 +1,34 @@
+"""Training-dynamics regression: the deterministic stage-2 loss curve must
+reproduce the stored golden (tools/loss_curve.py).  Any unintended change
+to losses, LR schedule, bank updates, or the data synthesizer shows up
+here.  Regenerate deliberately with:
+  python -c "..." (see tools/loss_curve.py docstring)
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden",
+                           "loss_curve_r1.json")
+
+
+def test_curve_matches_golden():
+    from loss_curve import run_curve
+
+    with open(GOLDEN_PATH) as f:
+        golden = json.load(f)
+    curve = run_curve(steps=5, seed=golden["seed"])
+    np.testing.assert_allclose(curve, golden["curve"][:5], rtol=1e-4)
+
+
+def test_curve_decreases():
+    with open(GOLDEN_PATH) as f:
+        golden = json.load(f)
+    c = golden["curve"]
+    assert np.mean(c[-3:]) < np.mean(c[:3])
