@@ -32,9 +32,9 @@ def main():
     n_chips = len(jax.devices())
     # 112/chip (no remat) is the measured sweet spot on v5e-16GB: HRNet's
     # thin 18-36-72ch branches underfill the 128-lane MXU, so larger
-    # batches amortize (honest sweep: 145/s @56, 211/s @112; remat @160
+    # batches amortize (honest sweep: 145/s @56, 212/s @112, 223/s @128; remat @160
     # loses to recompute cost).
-    per_chip = 112
+    per_chip = 128
     batch_size = per_chip * n_chips
     n_data = 8192
 

@@ -186,9 +186,14 @@ def build_model(cfg: TrainConfig) -> nn.Module:
                 dtype=dtype,
             )
         if cfg.arch == "HRNetPN":
+            import jax
+
             from .pointnet2_model import HCMoCoPNModel
 
+            point_impl = ("pallas" if jax.default_backend() == "tpu"
+                          else "xla")
             return HCMoCoPNModel(
+                point_impl=point_impl,
                 width=cfg.width,
                 feat_dim=cfg.feat_dim,
                 head=cfg.head,

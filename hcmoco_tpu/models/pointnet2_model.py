@@ -187,11 +187,12 @@ def depth2pts(depth: jnp.ndarray, depth_mask: jnp.ndarray,
 
 
 def pts2depth(sampled_pts: jnp.ndarray, all_pts: jnp.ndarray,
-              feats: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+              feats: jnp.ndarray, h: int, w: int,
+              point_impl: str = "xla") -> jnp.ndarray:
     """Scatter per-point features back onto the (h, w) grid via 3-NN
     inverse-distance interpolation (build_backbone.py:448-455).
     feats: (B, n, C) -> (B, h, w, C)."""
-    dist2, idx = three_nn(all_pts, sampled_pts)
+    dist2, idx = three_nn(all_pts, sampled_pts, impl=point_impl)
     weight = interpolation_weights(dist2)
     interp = three_interpolate(feats, idx, weight)
     b, _, c = interp.shape
@@ -266,7 +267,8 @@ class HCMoCoPNModel(nn.Module):
                 lm2 = SharedMLP((self.sgcn_dim,), dtype=jnp.float32,
                                 name="encoder2_linear")(fm2, train)
                 h, w = rgbd.shape[1], rgbd.shape[2]
-                lm2 = pts2depth(sampled, all_pts, lm2, h, w)
+                lm2 = pts2depth(sampled, all_pts, lm2, h, w,
+                                point_impl=self.point_impl)
                 # nearest-resize to linear_merge1 resolution (the
                 # reference's F.interpolate default)
                 th, tw = out["linear_merge1"].shape[1:3]

@@ -168,10 +168,16 @@ def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def three_nn(unknown: jnp.ndarray, known: jnp.ndarray,
-             chunk: int = 1024) -> Tuple[jnp.ndarray, jnp.ndarray]:
+             chunk: int = 1024,
+             impl: str = "xla") -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(B, N, 3), (B, M, 3) -> dist2 (B, N, 3) fp32, idx (B, N, 3) int32:
     the 3 nearest known points per unknown point, ascending, earlier index
     wins ties (interpolate_gpu.cu:9-52)."""
+    if impl == "pallas" and known.shape[1] >= 3:
+        from .pallas.three_nn import three_nn_pallas
+
+        return three_nn_pallas(unknown, known,
+                               chunk_n=min(chunk, 256))
     b, n, _ = unknown.shape
 
     m = known.shape[1]

@@ -126,9 +126,11 @@ class TestGathers:
 
 
 class TestThreeNN:
-    def test_matches_bruteforce(self, cloud):
+    @pytest.mark.parametrize("impl", ["xla", "pallas"])
+    def test_matches_bruteforce(self, cloud, impl):
         known = cloud[:, :32]
-        d2, idx = three_nn(jnp.asarray(cloud), jnp.asarray(known), chunk=64)
+        d2, idx = three_nn(jnp.asarray(cloud), jnp.asarray(known),
+                           chunk=64, impl=impl)
         want_d, want_i = np_three_nn(cloud, known)
         np.testing.assert_array_equal(np.asarray(idx), want_i)
         np.testing.assert_allclose(np.asarray(d2), want_d, rtol=1e-4,
