@@ -24,7 +24,7 @@ column (x); flat index = row * h + col after //4 downsample and clamping.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

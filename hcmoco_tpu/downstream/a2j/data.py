@@ -13,8 +13,7 @@ bbox to world coordinates and scores the <10cm fraction.
 from __future__ import annotations
 
 import os
-import pickle
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

@@ -13,7 +13,7 @@ reshape to keep the same enumeration.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

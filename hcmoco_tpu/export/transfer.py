@@ -29,7 +29,6 @@ import re
 from typing import Any, Dict, Optional
 
 import numpy as np
-import jax
 
 
 def _flatten(tree, prefix=()):

@@ -30,8 +30,7 @@ XLA fuses the mask/top-k consumer into each chunk.
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -31,7 +31,7 @@ Batch dict fields (from datasets/dataset.py:614-617 9-tuple, renamed):
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
