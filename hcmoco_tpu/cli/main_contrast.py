@@ -185,6 +185,13 @@ def main(argv=None):
             print(f"=> loaded {n} conv tensors into {enc} from {path}")
         state = state.replace(params=params, batch_stats=bs)
 
+    if cfg.pretrain:
+        # stage-1 -> stage-2 warm start with partial grafting
+        # (main_contrast.py:52-67 key-surgery analog)
+        from ..train.checkpoint import graft_pretrain
+
+        state = graft_pretrain(cfg.pretrain, state)
+
     ckpt_dir = f"{cfg.model_path}/{cfg.model_name}"
     ckpt = CheckpointManager(ckpt_dir, save_freq=cfg.save_freq)
     start_epoch = 1

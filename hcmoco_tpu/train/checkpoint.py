@@ -50,3 +50,62 @@ class CheckpointManager:
 
     def latest_epoch(self) -> Optional[int]:
         return self._mgr.latest_step()
+
+
+def graft_pretrain(pretrain_path: str, state: TrainState) -> TrainState:
+    """Cold-start from a previous stage's checkpoint: copy every param /
+    batch-stat subtree whose name and shape match, keep newly initialized
+    ones (e.g. stage-2 adds encoder{1,2}_linear).
+
+    Reference: main_contrast.py:52-67 — `--pretrain` loads the stage-1
+    checkpoint with `module.`-prefix key surgery and partial matching.
+    pretrain_path points at one orbax step dir (save/<run>/<epoch>) or a
+    run dir (latest step used)."""
+    import numpy as np
+
+    path = os.path.abspath(pretrain_path)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(path)
+    # run dir -> latest numeric step; CheckpointManager nests under
+    # <step>/default/
+    entries = [d for d in os.listdir(path) if d.isdigit()]
+    if entries:
+        path = os.path.join(path, str(max(int(d) for d in entries)))
+    if os.path.isdir(os.path.join(path, "default")):
+        path = os.path.join(path, "default")
+    raw = ocp.StandardCheckpointer().restore(path)
+
+    def merge(dst, src, label):
+        n = [0]
+
+        def rec(d, s):
+            out = {}
+            for k, v in d.items():
+                if hasattr(v, "items"):
+                    out[k] = rec(v, s.get(k, {})) if hasattr(
+                        s.get(k, {}), "items") else v
+                else:
+                    sv = s.get(k) if hasattr(s, "get") else None
+                    if sv is not None and np.shape(sv) == np.shape(v):
+                        out[k] = sv
+                        n[0] += 1
+                    else:
+                        out[k] = v
+            return out
+
+        merged = rec(dst, src or {})
+        print(f"=> grafted {n[0]} {label} tensors from {path}")
+        return merged
+
+    new_params = merge(state.params, raw.get("params"), "param")
+    new_bs = merge(state.batch_stats, raw.get("batch_stats"), "batch-stat")
+    new_state = state.replace(params=new_params, batch_stats=new_bs)
+    mem = raw.get("memory")
+    if mem is not None and state.memory is not None:
+        banks = mem.get("banks") if hasattr(mem, "get") else None
+        if banks is not None and np.shape(banks) == np.shape(
+                state.memory.banks):
+            new_state = new_state.replace(
+                memory=state.memory.replace(banks=banks))
+            print("=> grafted memory banks")
+    return new_state
