@@ -95,6 +95,22 @@ def main(argv=None):
         batch_stats=batch_stats, opt_state=tx.init(params),
         memory=init_memory(r3, 3, n_data, cfg.feat_dim))
 
+    if cfg.pretrain:
+        # load a stage-2 pretrain into the versatility model's encoder tree
+        # (main_segmentor.py:50-65 key surgery analog)
+        from ..train.checkpoint import graft_pretrain
+
+        sub = TrainState(step=state.step, params=state.params["model"],
+                         batch_stats=state.batch_stats["model"],
+                         opt_state=None, memory=state.memory)
+        sub = graft_pretrain(cfg.pretrain, sub)
+        state = state.replace(
+            params={"model": sub.params,
+                    "classifier": state.params["classifier"]},
+            batch_stats={"model": sub.batch_stats,
+                         "classifier": state.batch_stats["classifier"]},
+            memory=sub.memory)
+
     ckpt_dir = f"{cfg.model_path}/{cfg.model_name}_seg"
     ckpt = CheckpointManager(ckpt_dir, save_freq=cfg.save_freq)
     start_epoch = 1
