@@ -95,6 +95,42 @@ def update_memory(bank: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
     return bank.at[y].set(w_new)
 
 
+def _cmc3_logits_gather(banks: jnp.ndarray, feats: jnp.ndarray,
+                        idx: jnp.ndarray, temperature: float,
+                        chunk: int = 4096) -> Tuple[jnp.ndarray, ...]:
+    """Six cross-modal logit matrices via row-gather + einsum, chunked
+    over K.
+
+    Round-1 profiling showed the dense-score `take_along_axis` and its
+    backward scatter cost ~37% of the flagship step; the reference's
+    gather+bmm form (mem_bank.py:176-191) has no scatter at all (bank rows
+    are buffers).  Materializing all (bsz, K+1, dim) rows OOMs at large
+    batch, so we gather K in chunks, share one gather across the three
+    banks, and jax.checkpoint each chunk so the backward pass recomputes
+    the gather instead of saving it."""
+    banks = jax.lax.stop_gradient(banks)
+    f1, f2, f3 = (feats[i].astype(jnp.float32) for i in range(3))
+    kp1 = idx.shape[1]
+    # (feat, bank) pairs in CMCMem3 output order: 12,21,23,32,13,31
+    pairs = ((f1, 1), (f2, 0), (f2, 2), (f3, 1), (f1, 2), (f3, 0))
+
+    @jax.checkpoint
+    def one_chunk(banks, ic, f1, f2, f3):
+        w = jnp.take(banks, ic, axis=1)  # (3, bsz, chunk, dim)
+        fs = {0: f1, 1: f2, 2: f3}
+        return tuple(
+            jnp.einsum("bkd,bd->bk", w[bank_i], fs[feat_i])
+            for feat_i, bank_i in
+            ((0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)))
+
+    del pairs
+    parts = [one_chunk(banks, idx[:, c0:c0 + chunk], f1, f2, f3)
+             for c0 in range(0, kp1, chunk)]
+    return tuple(
+        jnp.concatenate([p[i] for p in parts], axis=1) / temperature
+        for i in range(6))
+
+
 def cmc3_forward(
     state: MemoryState,
     feats: jnp.ndarray,  # (3, bsz, dim) local features f1,f2,f3
@@ -106,20 +142,30 @@ def cmc3_forward(
     temperature: float,
     m: float = 0.5,
     dense_scores: bool = True,
+    neg_idx: jnp.ndarray = None,
 ) -> Tuple[Tuple[jnp.ndarray, ...], MemoryState]:
     """CMCMem3.forward (mem_bank.py:172-205): 6 cross-modal logit matrices
     (12,21,23,32,13,31) with label 0, then EMA-update all three banks from
-    the gathered global batch."""
-    idx = sample_negative_indices(rng, y, state.n_data, k)
+    the gathered global batch.
 
-    def lg(x, bank_i):
-        return memory_logits(x, state.banks[bank_i], idx, temperature,
-                             dense_scores)
+    neg_idx: optional precomputed (bsz, K+1) indices (positive in col 0)
+    overriding the uniform draw — used by the reference-parity harness to
+    pin the multinomial sample on both frameworks."""
+    idx = (neg_idx if neg_idx is not None
+           else sample_negative_indices(rng, y, state.n_data, k))
 
-    f1, f2, f3 = feats[0], feats[1], feats[2]
-    logits = (
-        lg(f1, 1), lg(f2, 0), lg(f2, 2), lg(f3, 1), lg(f1, 2), lg(f3, 0),
-    )
+    if dense_scores:
+        def lg(x, bank_i):
+            return memory_logits(x, state.banks[bank_i], idx, temperature,
+                                 dense_scores=True)
+
+        f1, f2, f3 = feats[0], feats[1], feats[2]
+        logits = (
+            lg(f1, 1), lg(f2, 0), lg(f2, 2), lg(f3, 1), lg(f1, 2),
+            lg(f3, 0),
+        )
+    else:
+        logits = _cmc3_logits_gather(state.banks, feats, idx, temperature)
     new_banks = jnp.stack([
         update_memory(state.banks[i], all_feats[i], all_y, m)
         for i in range(3)

@@ -154,6 +154,10 @@ class TrainConfig:
     alpha: float = 0.999  # moco EMA
     pri3d_num_samples_per_image: int = 400
     modality_missing: bool = False
+    # bank logits formulation: gather rows + einsum (False) avoids the slow
+    # TPU scalar-gather and its backward scatter that dominated the round-1
+    # profile (~37% of step time); dense score-matrix (True) kept as option
+    dense_scores: bool = False
     beta: float = 0.5  # PIRL jigsaw-vs-instance weight (train_options.py)
 
     # optimization

@@ -203,6 +203,113 @@ def hrnet_torch_to_flax(state_dict: Dict[str, Any], params: Dict,
     return new_p, new_s, n_loaded
 
 
+def _sgcn_torch_to_flax(sd: Dict[str, np.ndarray], params: Dict,
+                        batch_stats: Dict, torch_prefix: str = "encoder3."):
+    """Load the reference SemGCN state dict (create_SGCN.py / sem_gcn.py /
+    sem_graph_conv.py) into our SemGCN params+batch_stats trees.
+
+    Name map (torch -> ours):
+      gconv_input.0.{gconv,bn}       -> gconv_input/{gconv,bn}
+      gconv_layers.{i}.gconv{1,2}.*  -> res{i}/gconv{1,2}/*
+      gconv_output.{W,e,bias}        -> gconv_output/{W,e,bias}
+    SemGraphConv quirks: torch `e` is (1, n_edges) vs our (n_edges,); our
+    forward applies `bias - stdv` (uniform-shift init trick), so the flax
+    param is torch_bias + stdv, stdv = 1/sqrt(out_features).
+    """
+    flat_p = dict(_flatten(params))
+    flat_s = dict(_flatten(batch_stats))
+    n = 0
+
+    def set_gconv(torch_base, our_path):
+        nonlocal n
+        w = sd.get(torch_prefix + torch_base + ".W")
+        if w is None:
+            return
+        flat_p[our_path + ("W",)] = w
+        flat_p[our_path + ("e",)] = sd[
+            torch_prefix + torch_base + ".e"].reshape(-1)
+        b = sd.get(torch_prefix + torch_base + ".bias")
+        if b is not None:
+            stdv = 1.0 / np.sqrt(w.shape[2])
+            flat_p[our_path + ("bias",)] = b + stdv
+        n += 1
+
+    def set_bn(torch_base, our_path):
+        flat_p[our_path + ("scale",)] = sd[
+            torch_prefix + torch_base + ".weight"]
+        flat_p[our_path + ("bias",)] = sd[torch_prefix + torch_base + ".bias"]
+        flat_s[our_path + ("mean",)] = sd[
+            torch_prefix + torch_base + ".running_mean"]
+        flat_s[our_path + ("var",)] = sd[
+            torch_prefix + torch_base + ".running_var"]
+
+    set_gconv("gconv_input.0.gconv", ("gconv_input", "gconv"))
+    set_bn("gconv_input.0.bn", ("gconv_input", "bn"))
+    i = 0
+    while f"{torch_prefix}gconv_layers.{i}.gconv1.gconv.W" in sd:
+        for g in ("gconv1", "gconv2"):
+            set_gconv(f"gconv_layers.{i}.{g}.gconv", (f"res{i}", g, "gconv"))
+            set_bn(f"gconv_layers.{i}.{g}.bn", (f"res{i}", g, "bn"))
+        i += 1
+    set_gconv("gconv_output", ("gconv_output",))
+
+    new_p, new_s = {}, {}
+    for path, v in flat_p.items():
+        _unflatten_set(new_p, path, v)
+    for path, v in flat_s.items():
+        _unflatten_set(new_s, path, v)
+    return new_p, new_s, n
+
+
+def hcmoco_torch_to_flax(state_dict: Dict[str, Any], params: Dict,
+                         batch_stats: Dict):
+    """Load the full reference CMC3HRNetSGCNSingleHead state dict
+    (build_backbone.py:186-303) into our HCMoCoModel trees: both HRNet
+    encoders, the SemGCN skeleton encoder, the three linear projection
+    heads, and (if present) the stage-2 encoder{1,2}_linear 1x1 convs.
+
+    Returns (params, batch_stats, n_loaded).  Used by the reference
+    loss-curve parity harness (tools/ref_parity.py) to start both
+    frameworks from bit-identical weights."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params = dict(params)
+    batch_stats = dict(batch_stats)
+    total = 0
+
+    for enc in ("encoder1", "encoder2"):
+        sub = {k[len(enc) + 1:]: v for k, v in sd.items()
+               if k.startswith(enc + ".")}
+        p, s, n = hrnet_torch_to_flax(sub, params[enc],
+                                      batch_stats.get(enc, {}))
+        params[enc] = p
+        batch_stats[enc] = s
+        total += n
+
+    if "encoder3" in params:
+        p, s, n = _sgcn_torch_to_flax(sd, params["encoder3"],
+                                      batch_stats.get("encoder3", {}))
+        params["encoder3"] = p
+        batch_stats["encoder3"] = s
+        total += n
+
+    for h in ("head1", "head2", "head3"):
+        w = sd.get(f"{h}.0.weight")
+        if w is not None and h in params:
+            params[h] = dict(params[h])
+            params[h]["fc"] = {"kernel": np.transpose(w, (1, 0)),
+                               "bias": sd[f"{h}.0.bias"]}
+            total += 1
+
+    for lin in ("encoder1_linear", "encoder2_linear"):
+        w = sd.get(f"{lin}.weight")
+        if w is not None and lin in params:
+            params[lin] = {"kernel": np.transpose(w, (2, 3, 1, 0)),
+                           "bias": sd[f"{lin}.bias"]}
+            total += 1
+
+    return params, batch_stats, total
+
+
 def export_encoder(state, encoder_name: str, out_path: str):
     """transfer_ckpt equivalent: write the flat torch-named HRNet state dict
     for `encoder1` (RGB) or `encoder2` (depth) to out_path (.pth)."""

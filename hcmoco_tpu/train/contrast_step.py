@@ -138,7 +138,9 @@ def make_contrast_train_step(cfg: TrainConfig, model,
             # global view: f == all_f (GSPMD gathers where needed)
             logits, new_memory = cmc3_forward(
                 memory, feats, y, feats, y, rngs[0],
-                k=cfg.nce_k, temperature=cfg.nce_t, m=cfg.nce_m)
+                k=cfg.nce_k, temperature=cfg.nce_t, m=cfg.nce_m,
+                dense_scores=cfg.dense_scores,
+                neg_idx=batch.get("neg_idx"))
             losses, accs = compute_loss_accuracy(
                 logits, use_depth=use_depth,
                 use_rgb=use_rgb if stage2 is False else None)
@@ -150,8 +152,10 @@ def make_contrast_train_step(cfg: TrainConfig, model,
                                           cfg.nce_k)
             # CMCMem.forward (mem_bank.py:109-154): cross-modal logits
             logits = (
-                memory_logits(out["feat1"], memory.banks[1], idx, cfg.nce_t),
-                memory_logits(out["feat2"], memory.banks[0], idx, cfg.nce_t),
+                memory_logits(out["feat1"], memory.banks[1], idx, cfg.nce_t,
+                              cfg.dense_scores),
+                memory_logits(out["feat2"], memory.banks[0], idx, cfg.nce_t,
+                              cfg.dense_scores),
             )
             banks = jnp.stack([
                 update_memory(memory.banks[0], out["feat1"], y, cfg.nce_m),
@@ -179,13 +183,14 @@ def make_contrast_train_step(cfg: TrainConfig, model,
             idx = sample_negative_indices(rngs[0], y, memory.n_data,
                                           cfg.nce_k)
             logits = [
-                memory_logits(out["feat"], memory.banks[0], idx, cfg.nce_t),
+                memory_logits(out["feat"], memory.banks[0], idx, cfg.nce_t,
+                              cfg.dense_scores),
             ]
             names = ["ins"]
             if "feat_jig" in out:
                 logits.append(memory_logits(out["feat_jig"],
                                             memory.banks[0], idx,
-                                            cfg.nce_t))
+                                            cfg.nce_t, cfg.dense_scores))
                 names.append("jig")
             new_memory = MemoryState(banks=jnp.stack([
                 update_memory(memory.banks[0], out["feat"], y, cfg.nce_m)

@@ -1,0 +1,110 @@
+"""Reference loss-curve parity (VERDICT round-1 item 2 / BASELINE north
+star).
+
+The golden `tests/golden/ref_loss_curve_s1.npz` holds per-step losses from
+the REFERENCE torch trainer loop `_train_mem_skeleton3d`
+(contrast_trainer.py:532-640) run at tiny scale on CPU by
+tools/ref_parity.py, with all stochastic inputs pinned (weights, banks,
+batches, negative indices — tests/parity_common.py).  Here the identical
+setup runs through our jitted train step: same crc32-synth weights loaded
+via the export bridge, same banks, same batches, same pinned neg_idx.
+Per-step agreement of the six-way NCE losses through 12 SGD updates
+exercises the full train dynamics: forward, CE-with-modality-masking,
+backward, weight decay, heavy-ball momentum, BN batch-stats, and the
+memory-bank EMA scatter.
+
+Regenerate the golden with: python tools/ref_parity.py --stage 1
+"""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import parity_common as pc
+from hcmoco_tpu.core.config import TrainConfig
+from hcmoco_tpu.models.build import build_model
+from hcmoco_tpu.contrast.memory import MemoryState
+from hcmoco_tpu.export.transfer import hcmoco_torch_to_flax
+from hcmoco_tpu.train.state import create_train_state
+from hcmoco_tpu.train.contrast_step import make_contrast_train_step
+
+HERE = os.path.dirname(__file__)
+GOLDEN_S1 = os.path.join(HERE, "golden", "ref_loss_curve_s1.npz")
+KEYS = os.path.join(HERE, "golden", "hcmoco_w18_torch_keys.txt")
+
+
+def _make_cfg(stage2=False):
+    return TrainConfig(
+        method="Customize", modal="RGBD2S", arch="HRNet", width=18,
+        mem="bank+jointspri3d" if stage2 else "bank",
+        linear_feat_map=stage2,
+        nce_k=pc.NCE_K, nce_m=pc.NCE_M, nce_t=pc.NCE_T,
+        temperature=0.07, pri3d_num_samples_per_image=8,
+        batch_size=pc.BSZ, epochs=100, learning_rate=pc.LR,
+        momentum=pc.MOMENTUM, weight_decay=pc.WEIGHT_DECAY,
+        cosine=False, warm=False, modality_missing=True,
+        compute_dtype="float32", crop_size=pc.CROP,
+    )
+
+
+def _transplanted_state(cfg, batches):
+    model = build_model(cfg)
+    b0 = {k: jnp.asarray(v) for k, v in batches[0].items()}
+    state = create_train_state(cfg, model, jax.random.PRNGKey(0), b0,
+                               n_data=pc.N_DATA, steps_per_epoch=len(batches))
+    synth = pc.synth_state_dict(pc.read_keys_file(KEYS))
+    params, stats, n = hcmoco_torch_to_flax(
+        synth, state.params, dict(state.batch_stats))
+    assert n > 400, f"only {n} module groups transplanted"
+    state = state.replace(
+        params=params, batch_stats=stats,
+        memory=MemoryState(banks=jnp.asarray(pc.synth_banks())))
+    return model, state
+
+
+@pytest.mark.slow
+def test_stage1_loss_curve_matches_reference():
+    golden = np.load(GOLDEN_S1)
+    steps = int(golden["steps"])
+    cfg = _make_cfg(stage2=False)
+    batches = pc.synth_batches(steps=steps)
+    model, state = _transplanted_state(cfg, batches)
+    step_fn = make_contrast_train_step(cfg, model, steps_per_epoch=steps)
+
+    got = {"loss_12": [], "loss_23": [], "loss_13": []}
+    for t, b in enumerate(batches):
+        jb = {k: jnp.asarray(v) for k, v in b.items()}
+        state, metrics = step_fn(state, jb, jax.random.PRNGKey(100 + t))
+        got["loss_12"].append(
+            0.5 * (metrics["nce_loss_12"] + metrics["nce_loss_21"]))
+        got["loss_23"].append(
+            0.5 * (metrics["nce_loss_23"] + metrics["nce_loss_32"]))
+        got["loss_13"].append(
+            0.5 * (metrics["nce_loss_13"] + metrics["nce_loss_31"]))
+
+    for key in ("loss_12", "loss_23", "loss_13"):
+        ours = np.asarray(jax.device_get(got[key]), np.float64)
+        ref = golden[key]
+        # Step 0 has no accumulated state: forward + 6-way masked CE must
+        # match to fp32 roundoff (measured 2e-6).
+        np.testing.assert_allclose(ours[0], ref[0], rtol=1e-4,
+                                   err_msg=f"{key} step 0")
+        # Later steps inherit fp32 chaos: the reference itself, re-run with
+        # a 1e-6 weight perturbation (pert_* in the golden), deviates from
+        # its own trajectory.  Require our deviation to stay within 2x that
+        # intrinsic envelope (torch fp32 is ~7.5e-3 off its own fp64 grads
+        # at step 0 — see tools/ref_parity.py docstring).
+        env = np.abs(golden["pert_" + key] - ref).mean()
+        dev = np.abs(ours - ref).mean()
+        assert dev <= max(2.0 * env, 0.02), (
+            f"{key}: mean dev {dev:.4f} exceeds 2x chaos envelope "
+            f"{env:.4f}")
+
+    # end-state: memory banks after 12 EMA scatters agree to within the
+    # same trajectory-divergence scale
+    banks = np.asarray(jax.device_get(state.memory.banks))
+    assert np.abs(banks - golden["bank_final"]).max() < 0.05
+    assert np.abs(banks - golden["bank_final"]).mean() < 0.005

@@ -1,0 +1,300 @@
+"""Reference loss-curve parity golden generator (VERDICT round-1 item 2).
+
+Runs the reference torch trainer loops — `_train_mem_skeleton3d`
+(contrast_trainer.py:532-640, stage 1) and `_train_bank_joints_pri3d_cmc3`
+(:894-1039, stage 2) — at tiny scale on CPU with every stochastic input
+pinned (tests/parity_common.py): crc32-synth weights, synth memory banks,
+seeded synthetic batches, pinned negative-sample indices (multinomial.draw
+monkeypatched) and, for stage 2, pinned soft-pri3d pixel samples
+(Tensor.multinomial monkeypatched).  Per-step losses from the loop's own
+AverageMeter updates are recorded into tests/golden/ref_loss_curve_s{N}.npz;
+tests/test_ref_parity.py replays the identical setup through our jitted
+train step and asserts per-step agreement.
+
+Run from the repo root:  python tools/ref_parity.py --stage 1
+(imports the reference package from /root/reference/pycontrast read-only; no
+reference code is copied into the repo).
+"""
+
+import argparse
+import os
+import sys
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference/pycontrast"
+sys.path.insert(0, os.path.join(REPO, "tests"))
+sys.path.insert(0, REF)
+
+import parity_common as pc  # noqa: E402
+
+# ---- torch CPU shims (reference code calls .cuda() everywhere) ----
+sys.path.insert(0, os.path.join(REPO, "tools"))
+import yacs_shim  # noqa: E402
+
+yacs_shim.install()
+sys.modules.setdefault(
+    "tensorboard_logger", types.SimpleNamespace(Logger=object))
+# build_backbone imports the PointNet++ CUDA extension at module scope; the
+# HRNet flagship never touches it — stub the binary module
+sys.modules.setdefault("pointnet2_cuda", types.ModuleType("pointnet2_cuda"))
+import torch  # noqa: E402
+
+torch.Tensor.cuda = lambda self, *a, **k: self
+torch.nn.Module.cuda = lambda self, *a, **k: self
+torch.manual_seed(0)
+
+from networks.build_backbone import CMC3HRNetSGCNSingleHead  # noqa: E402
+from memory.mem_bank import CMCMem3  # noqa: E402
+from learning.contrast_trainer import ContrastTrainer  # noqa: E402
+from learning import util as lutil  # noqa: E402
+
+
+class FixedDraw:
+    """Replaces AliasMethod.draw with the pinned per-step indices."""
+
+    def __init__(self):
+        self.queue = []
+
+    def push(self, idx_flat):
+        self.queue.append(torch.from_numpy(np.ascontiguousarray(idx_flat)))
+
+    def __call__(self, n):
+        out = self.queue.pop(0)
+        assert out.numel() == n, (out.numel(), n)
+        return out
+
+
+class FixedMultinomial:
+    """Replaces torch.Tensor.multinomial for the stage-2 soft-pri3d pixel
+    sample (contrast_trainer.py:685).  Rows are matched by count: the
+    reference calls it on the row-masked valid-probability matrix; our
+    synthetic depth masks guarantee every image has valid pixels, so the
+    row count always equals the batch size."""
+
+    def __init__(self):
+        self.queue = []
+        self.orig = torch.Tensor.multinomial
+
+    def push(self, pix_idx):
+        self.queue.append(torch.from_numpy(np.ascontiguousarray(pix_idx)))
+
+    def __call__(self, tensor, num_samples, replacement=False, **kw):
+        if not self.queue:
+            return self.orig(tensor, num_samples, replacement=replacement,
+                             **kw)
+        out = self.queue.pop(0)
+        assert out.shape == (tensor.shape[0], num_samples), (
+            out.shape, tensor.shape, num_samples)
+        return out
+
+
+_ORIG_METER_UPDATE = lutil.AverageMeter.update
+
+
+class MeterTap:
+    """Record every AverageMeter.update value in call order; the trainer
+    loops update a fixed set of meters per step, so chunking the record by
+    that count recovers per-step sequences."""
+
+    def __init__(self):
+        self.values = []
+        self.orig = _ORIG_METER_UPDATE
+
+    def install(self):
+        tap = self
+
+        def update(mself, val, n=1):
+            tap.values.append(float(val))
+            tap.orig(mself, val, n)
+
+        lutil.AverageMeter.update = update
+
+    def per_step(self, n_per_step):
+        v = self.values
+        assert len(v) % n_per_step == 0, (len(v), n_per_step)
+        return np.asarray(v, np.float64).reshape(-1, n_per_step)
+
+
+def pinned_pixel_indices(depth_mask, crop, num_samples, rng):
+    """Uniform over valid pixels of the nearest-/4-downsampled depth mask —
+    the distribution the reference's multinomial draws from."""
+    h = crop // 4
+    valid = depth_mask[:, ::4, ::4].reshape(depth_mask.shape[0], h * h)
+    out = np.zeros((depth_mask.shape[0], num_samples), np.int64)
+    for b in range(depth_mask.shape[0]):
+        cand = np.nonzero(valid[b] > 0)[0]
+        assert cand.size > 0
+        out[b] = rng.choice(cand, num_samples, replace=True)
+    return out
+
+
+def run_reference(stage, steps, perturb=0.0):
+    """One pinned reference-trainer run; returns the per-step loss dict.
+
+    perturb > 0 multiplies every weight by (1 + perturb*randn): a second
+    run with perturb=1e-6 measures the INTRINSIC fp32 chaos of this
+    training trajectory, which calibrates the parity test's tolerance
+    (our independent fp32 implementation cannot be expected to track the
+    reference more closely than the reference tracks itself under a
+    1-ulp-scale perturbation)."""
+    stage2 = stage == 2
+
+    args = types.SimpleNamespace(
+        jigsaw=False, gpu=0, arch="HRNet", modality_missing=True, amp=False,
+        local_rank=0, warm=False, print_freq=1,
+        mem="bank+jointspri3d" if stage2 else "bank",
+        modal="RGBD2S", method="CMCRGBD2S",
+        nce_k=pc.NCE_K, nce_t=pc.NCE_T, nce_m=pc.NCE_M,
+        feat_dim=pc.FEAT_DIM, skeleton_meta_name="mpii",
+        learning_rate=pc.LR, momentum=pc.MOMENTUM,
+        weight_decay=pc.WEIGHT_DECAY,
+        pri3d_num_samples_per_image=8, temperature=0.07,
+    )
+
+    # the reference loads its HRNet yaml via a cwd-relative path
+    cwd = os.getcwd()
+    os.chdir(REF)
+    try:
+        model = CMC3HRNetSGCNSingleHead(
+            name="HRNet", head="linear", feat_dim=pc.FEAT_DIM,
+            in_channel_list=[3, 3], linear_feat_map=stage2, width=18,
+            pool_method="mean", opt=args)
+    finally:
+        os.chdir(cwd)
+    model = model.float()
+
+    # write the key/shape list, then load the crc32-synth weights
+    keys_path = os.path.join(REPO, "tests", "golden",
+                             "hcmoco_w18_torch_keys.txt")
+    sd = model.state_dict()
+    if not stage2:  # stage-1 keys are a subset; write the stage-2 superset
+        pass
+    with open(keys_path, "w") as f:
+        for k, v in sd.items():
+            f.write(k + "\t" + ",".join(str(s) for s in v.shape) + "\n")
+    synth = pc.synth_state_dict(
+        [(k, tuple(v.shape)) for k, v in sd.items()])
+    if perturb:
+        r = np.random.RandomState(999)
+        synth = {k: (v * (1 + perturb * r.randn(*v.shape))
+                     .astype(np.float32) if v.ndim else v)
+                 for k, v in synth.items()}
+    model.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in synth.items()})
+
+    contrast = CMCMem3(pc.FEAT_DIM, pc.N_DATA, pc.NCE_K, pc.NCE_T, pc.NCE_M)
+    banks = pc.synth_banks()
+    with torch.no_grad():
+        contrast.memory_1.copy_(torch.from_numpy(banks[0]))
+        contrast.memory_2.copy_(torch.from_numpy(banks[1]))
+        contrast.memory_3.copy_(torch.from_numpy(banks[2]))
+    draw = FixedDraw()
+    contrast.multinomial.draw = draw
+
+    criterion = torch.nn.CrossEntropyLoss()
+    optimizer = torch.optim.SGD(model.parameters(), lr=pc.LR,
+                                momentum=pc.MOMENTUM,
+                                weight_decay=pc.WEIGHT_DECAY)
+
+    batches = pc.synth_batches(steps=steps, stage2=stage2)
+    pix_rng = np.random.default_rng(17)
+    mn = FixedMultinomial()
+    loader = []
+    for b in batches:
+        draw.push(b["neg_idx"].reshape(-1))
+        if stage2:
+            mn.push(pinned_pixel_indices(
+                b["depth_mask"], pc.CROP,
+                args.pri3d_num_samples_per_image, pix_rng))
+        inputs = torch.from_numpy(
+            np.transpose(b["rgbd"], (0, 3, 1, 2)).copy())
+        dummy = torch.zeros(b["index"].shape[0])
+        tup = [
+            inputs,                                    # 0
+            torch.from_numpy(b["index"]),              # 1
+            torch.from_numpy(b["skeleton"]),           # 2
+            dummy,                                     # 3
+            torch.from_numpy(b.get("joints2d", np.zeros((1,)))),   # 4
+            torch.from_numpy(b.get("joints_vis", np.zeros((1,)))),  # 5
+            torch.from_numpy(b["use_depth"]),          # 6
+            torch.from_numpy(b["depth_mask"]),         # 7
+            torch.from_numpy(b.get("scale", np.ones((1,)))),  # 8
+            dummy,                                     # 9
+            dummy,                                     # 10
+            torch.from_numpy(b["use_rgb"]),            # 11
+        ]
+        loader.append(tuple(tup))
+
+    trainer = ContrastTrainer(args)
+    ContrastTrainer._global_gather = staticmethod(lambda x: x)
+    tap = MeterTap()
+    tap.install()
+    if stage2:
+        torch.Tensor.multinomial = lambda t, n, replacement=False, **kw: \
+            mn(t, n, replacement=replacement, **kw)
+
+    if stage2:
+        trainer._train_bank_joints_pri3d_cmc3(
+            1, loader, model, contrast, criterion,
+            torch.nn.CrossEntropyLoss(), optimizer)
+        rows = tap.per_step(15)
+        # order (contrast_trainer.py:1000-1018): data_time, loss, acc1,
+        # acc2, acc3, l_r2d, l_d2r, a_r2d, a_d2r, l_r2j, l_d2j, a_r2j,
+        # a_d2j, l_scl, batch_time
+        out = {
+            "loss": rows[:, 1],
+            "loss_rgb2depth": rows[:, 5], "loss_depth2rgb": rows[:, 6],
+            "loss_rgb2joint": rows[:, 9], "loss_d2joint": rows[:, 10],
+            "loss_scl": rows[:, 13],
+        }
+    else:
+        trainer._train_mem_skeleton3d(
+            1, loader, model, contrast, criterion, optimizer)
+        rows = tap.per_step(8)
+        # order (contrast_trainer.py:584-620): data_time, loss_12, acc_12,
+        # loss_23, acc_23, loss_13, acc_13, batch_time
+        out = {
+            "loss_12": rows[:, 1], "loss_23": rows[:, 3],
+            "loss_13": rows[:, 5],
+            "acc_12": rows[:, 2], "acc_23": rows[:, 4],
+            "acc_13": rows[:, 6],
+        }
+
+    # final-state fingerprints for end-state agreement checks
+    out["bank_final"] = np.stack([
+        contrast.memory_1.numpy(), contrast.memory_2.numpy(),
+        contrast.memory_3.numpy()])
+    out["head1_w_final"] = model.head1[0].weight.detach().numpy()
+    lutil.AverageMeter.update = _ORIG_METER_UPDATE
+    if stage2:
+        torch.Tensor.multinomial = FixedMultinomial().orig
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", type=int, default=1, choices=(1, 2))
+    ap.add_argument("--steps", type=int, default=pc.STEPS)
+    args_cli = ap.parse_args()
+
+    out = run_reference(args_cli.stage, args_cli.steps)
+    pert = run_reference(args_cli.stage, args_cli.steps, perturb=1e-6)
+    for k, v in pert.items():
+        if k.startswith("loss"):
+            out["pert_" + k] = v
+    out["steps"] = np.asarray(args_cli.steps)
+    path = os.path.join(REPO, "tests", "golden",
+                        f"ref_loss_curve_s{args_cli.stage}.npz")
+    np.savez_compressed(path, **out)
+    for k in sorted(out):
+        v = out[k]
+        if v.ndim == 1 and v.size == args_cli.steps:
+            print(k, np.array2string(v, precision=4))
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
