@@ -136,9 +136,13 @@ def soft_pri3d_loss(
     ).reshape(b, h * w)
 
     valid_count = mask_small.sum(-1)
+    # NOTE: the reference uses `use_depth` ONLY for a whole-batch early
+    # return (contrast_trainer.py:663-665); per-image filtering is purely
+    # on depth-mask validity (:676-683).  No-depth images with nonempty
+    # masks DO contribute — replicated exactly (stage-2 parity golden).
     img_ok = valid_count > 0
-    if use_depth is not None:
-        img_ok = jnp.logical_and(img_ok, use_depth == 1)
+    batch_ok = (use_depth.sum() > 0 if use_depth is not None
+                else jnp.asarray(True))
 
     if sample_ind is None:
         # categorical sampling ~ torch multinomial(replacement=True)
@@ -170,7 +174,7 @@ def soft_pri3d_loss(
     def soft_ce(lg):
         logsoft = jax.nn.log_softmax(lg, axis=1)
         per_img = -(soft_target * logsoft).sum(axis=1).mean(axis=-1)  # (B,)
-        return _masked_mean(per_img, img_ok)
+        return _masked_mean(per_img, img_ok) * batch_ok
 
     losses = [soft_ce(rgb2depth), soft_ce(depth2rgb)]
 
@@ -178,7 +182,7 @@ def soft_pri3d_loss(
     def acc(lg):
         pred = jnp.argmax(lg, axis=1)
         per_img = (pred == target).mean(axis=-1)
-        return _masked_mean(per_img, img_ok)
+        return _masked_mean(per_img, img_ok) * batch_ok
 
     return losses, [acc(rgb2depth), acc(depth2rgb)]
 

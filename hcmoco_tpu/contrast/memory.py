@@ -97,7 +97,7 @@ def update_memory(bank: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
 
 def _cmc3_logits_gather(banks: jnp.ndarray, feats: jnp.ndarray,
                         idx: jnp.ndarray, temperature: float,
-                        chunk: int = 4096) -> Tuple[jnp.ndarray, ...]:
+                        chunk: int = 2048) -> Tuple[jnp.ndarray, ...]:
     """Six cross-modal logit matrices via row-gather + einsum, chunked
     over K.
 
@@ -110,25 +110,36 @@ def _cmc3_logits_gather(banks: jnp.ndarray, feats: jnp.ndarray,
     the gather instead of saving it."""
     banks = jax.lax.stop_gradient(banks)
     f1, f2, f3 = (feats[i].astype(jnp.float32) for i in range(3))
-    kp1 = idx.shape[1]
-    # (feat, bank) pairs in CMCMem3 output order: 12,21,23,32,13,31
-    pairs = ((f1, 1), (f2, 0), (f2, 2), (f3, 1), (f1, 2), (f3, 0))
-
-    @jax.checkpoint
-    def one_chunk(banks, ic, f1, f2, f3):
-        w = jnp.take(banks, ic, axis=1)  # (3, bsz, chunk, dim)
-        fs = {0: f1, 1: f2, 2: f3}
+    bsz, kp1 = idx.shape
+    if kp1 <= chunk:
+        w = jnp.take(banks, idx, axis=1)  # (3, bsz, kp1, dim)
+        fs = (f1, f2, f3)
         return tuple(
-            jnp.einsum("bkd,bd->bk", w[bank_i], fs[feat_i])
+            jnp.einsum("bkd,bd->bk", w[bank_i], fs[feat_i]) / temperature
             for feat_i, bank_i in
             ((0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0)))
 
-    del pairs
-    parts = [one_chunk(banks, idx[:, c0:c0 + chunk], f1, f2, f3)
-             for c0 in range(0, kp1, chunk)]
-    return tuple(
-        jnp.concatenate([p[i] for p in parts], axis=1) / temperature
-        for i in range(6))
+    # lax.scan serializes the chunks so only one (3, bsz, chunk, dim)
+    # gather is live at a time (an unrolled loop kept them all live and
+    # OOMed at batch 128); jax.checkpoint re-gathers in the backward.
+    nchunks = -(-kp1 // chunk)
+    pad = nchunks * chunk - kp1
+    idx_c = jnp.pad(idx, ((0, 0), (0, pad))).reshape(
+        bsz, nchunks, chunk).transpose(1, 0, 2)  # (n, bsz, chunk)
+
+    @jax.checkpoint
+    def body(carry, ic):
+        w = jnp.take(banks, ic, axis=1)  # (3, bsz, chunk, dim)
+        fs = (f1, f2, f3)
+        outs = jnp.stack([
+            jnp.einsum("bkd,bd->bk", w[bank_i], fs[feat_i])
+            for feat_i, bank_i in
+            ((0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0))])
+        return carry, outs  # (6, bsz, chunk)
+
+    _, parts = jax.lax.scan(body, 0, idx_c)  # (n, 6, bsz, chunk)
+    full = parts.transpose(1, 2, 0, 3).reshape(6, bsz, nchunks * chunk)
+    return tuple(full[i, :, :kp1] / temperature for i in range(6))
 
 
 def cmc3_forward(

@@ -8,9 +8,8 @@ RandAugment / color-space transfer, the CMC YDbDr normalization constants
 
 skimage isn't in this image, so rgb2lab / rgb2ydbdr are implemented
 directly (same definitions skimage uses: CIE Lab via sRGB->XYZ D65, YDbDr
-via its standard matrix).  RandAugment here is a compact implementation of
-the op set the reference's vendored RandAugment.py applies at its default
-`rand-n2-m10-mstd0.5` configuration.
+via its standard matrix).  RandAugment is the full CMC-aware op set
+(see randaugment.py) at the reference's `rand-n2-m10-mstd0.5` config.
 """
 
 from __future__ import annotations
@@ -21,6 +20,7 @@ from typing import Callable, List, Optional, Sequence, Tuple
 import numpy as np
 from PIL import Image, ImageEnhance, ImageFilter, ImageOps
 
+from .randaugment import rand_augment_transform
 from .transforms import (IMAGENET_MEAN, IMAGENET_STD,
                          random_resized_crop_params, resized_crop)
 
@@ -106,65 +106,6 @@ def gaussian_blur(img: Image.Image, rng) -> Image.Image:
 
 
 # ---------------------------------------------------------------------------
-# compact RandAugment (reference RandAugment.py at rand-n2-m10-mstd0.5)
-# ---------------------------------------------------------------------------
-
-
-def _ra_ops(img_mean):
-    fill = tuple(img_mean)
-
-    def shear_x(im, m):
-        return im.transform(im.size, Image.AFFINE, (1, m, 0, 0, 1, 0),
-                            fillcolor=fill)
-
-    def shear_y(im, m):
-        return im.transform(im.size, Image.AFFINE, (1, 0, 0, m, 1, 0),
-                            fillcolor=fill)
-
-    def trans_x(im, m):
-        return im.transform(im.size, Image.AFFINE,
-                            (1, 0, m * im.size[0] * 0.45, 0, 1, 0),
-                            fillcolor=fill)
-
-    def trans_y(im, m):
-        return im.transform(im.size, Image.AFFINE,
-                            (1, 0, 0, 0, 1, m * im.size[1] * 0.45),
-                            fillcolor=fill)
-
-    return [
-        ("AutoContrast", lambda im, m: ImageOps.autocontrast(im)),
-        ("Equalize", lambda im, m: ImageOps.equalize(im)),
-        ("Rotate", lambda im, m: im.rotate(m * 30, fillcolor=fill)),
-        ("Solarize", lambda im, m: ImageOps.solarize(
-            im, int(256 - abs(m) * 256))),
-        ("Posterize", lambda im, m: ImageOps.posterize(
-            im, max(1, 4 - int(abs(m) * 4)))),
-        ("Color", lambda im, m: ImageEnhance.Color(im).enhance(1 + m * 0.9)),
-        ("Contrast", lambda im, m: ImageEnhance.Contrast(im).enhance(
-            1 + m * 0.9)),
-        ("Brightness", lambda im, m: ImageEnhance.Brightness(im).enhance(
-            1 + m * 0.9)),
-        ("Sharpness", lambda im, m: ImageEnhance.Sharpness(im).enhance(
-            1 + m * 0.9)),
-        ("ShearX", shear_x), ("ShearY", shear_y),
-        ("TranslateX", trans_x), ("TranslateY", trans_y),
-    ]
-
-
-def rand_augment(img: Image.Image, rng, n: int = 2, magnitude: int = 10,
-                 mstd: float = 0.5,
-                 img_mean=(124, 116, 104)) -> Image.Image:
-    ops = _ra_ops(img_mean)
-    for _ in range(n):
-        name, fn = ops[int(rng.integers(0, len(ops)))]
-        m = float(np.clip(rng.normal(magnitude, mstd * 10), 0, 10)) / 10.0
-        if rng.random() < 0.5:
-            m = -m
-        img = fn(img, m)
-    return img
-
-
-# ---------------------------------------------------------------------------
 # policy builder
 # ---------------------------------------------------------------------------
 
@@ -176,6 +117,13 @@ def build_transform(aug: str, modal: str, use_memory_bank: bool = True,
     Policy table: build_transforms (util.py:226-336)."""
     crop = 0.08 if use_memory_bank else 0.2
     rng = np.random.default_rng(seed)
+    # full reference op set at rand-n2-m10-mstd0.5 with CMC-aware removal
+    # of color ops (util.py:279-321): D/E policies
+    ra = rand_augment_transform(
+        "rand-n2-m10-mstd0.5",
+        translate_const=int(size * 0.45),
+        img_mean=tuple(min(255, round(255 * x)) for x in IMAGENET_MEAN),
+        use_cmc=(modal == "CMC"))
     if modal == "RGB":
         mean, std = IMAGENET_MEAN, IMAGENET_STD
         transfer = lambda a: a.astype(np.float32) / 255.0  # noqa: E731
@@ -213,14 +161,14 @@ def build_transform(aug: str, modal: str, use_memory_bank: bool = True,
                 img = color_jitter(img, rng, 0.8, 0.8, 0.8, 0.2)
             if rng.random() < 0.5:
                 img = gaussian_blur(img, rng)
-            img = rand_augment(img, rng)
+            img = ra(img, rng)
             img = random_grayscale(img, rng, 0.2)
         elif aug == "E":
             if rng.random() < 0.8:
                 img = color_jitter(img, rng, 0.4, 0.4, 0.4, 0.1)
             if rng.random() < 0.5:
                 img = gaussian_blur(img, rng)
-            img = rand_augment(img, rng)
+            img = ra(img, rng)
         else:
             raise NotImplementedError(f"aug policy {aug}")
         return finish(img)

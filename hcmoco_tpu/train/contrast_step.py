@@ -211,7 +211,8 @@ def make_contrast_train_step(cfg: TrainConfig, model,
             sp_losses, sp_accs = soft_pri3d_loss(
                 rngs[1], out["linear_merge1"], out["linear_merge2"],
                 batch["depth_mask"], cfg.pri3d_num_samples_per_image,
-                cfg.temperature, use_depth=use_depth)
+                cfg.temperature, use_depth=use_depth,
+                sample_ind=batch.get("pix_idx"))
             j_losses, j_accs = joints_pri3d_loss(
                 out["linear_merge1"], out["linear_merge2"], out["fm3"],
                 batch["joints2d"], batch["joints_vis"], cfg.temperature,

@@ -76,6 +76,30 @@ def synth_banks(n_data=N_DATA, dim=FEAT_DIM, seed=BANK_SEED):
     return banks
 
 
+PIX_SEED = 17
+
+
+def pinned_pixel_indices(depth_mask, crop, num_samples, rng):
+    """Uniform over valid pixels of the nearest-/4-downsampled depth mask —
+    the distribution the reference's soft-pri3d multinomial draws from
+    (contrast_trainer.py:674-685)."""
+    h = crop // 4
+    valid = depth_mask[:, ::4, ::4].reshape(depth_mask.shape[0], h * h)
+    out = np.zeros((depth_mask.shape[0], num_samples), np.int64)
+    for b in range(depth_mask.shape[0]):
+        cand = np.nonzero(valid[b] > 0)[0]
+        assert cand.size > 0
+        out[b] = rng.choice(cand, num_samples, replace=True)
+    return out
+
+
+def stage2_pixel_indices(batches, num_samples=8, crop=CROP):
+    """Per-step pinned soft-pri3d pixel samples for `batches`."""
+    rng = np.random.default_rng(PIX_SEED)
+    return [pinned_pixel_indices(b["depth_mask"], crop, num_samples, rng)
+            for b in batches]
+
+
 def synth_batches(steps=STEPS, bsz=BSZ, crop=CROP, n_joints=N_JOINTS,
                   n_data=N_DATA, k=NCE_K, seed=BATCH_SEED, stage2=False):
     """Per-step batch dicts (numpy, NHWC) with pinned negative indices.

@@ -108,3 +108,41 @@ def test_stage1_loss_curve_matches_reference():
     banks = np.asarray(jax.device_get(state.memory.banks))
     assert np.abs(banks - golden["bank_final"]).max() < 0.05
     assert np.abs(banks - golden["bank_final"]).mean() < 0.005
+
+
+@pytest.mark.slow
+def test_stage2_loss_curve_matches_reference():
+    """Stage 2 (`_train_bank_joints_pri3d_cmc3`): total loss = 6-way NCE +
+    dense soft-pri3d + sparse joints-pri3d + cross-subject SCL, with the
+    soft-pri3d pixel sample pinned on both sides."""
+    golden = np.load(os.path.join(HERE, "golden", "ref_loss_curve_s2.npz"))
+    steps = int(golden["steps"])
+    cfg = _make_cfg(stage2=True)
+    batches = pc.synth_batches(steps=steps, stage2=True)
+    pix = pc.stage2_pixel_indices(batches,
+                                  cfg.pri3d_num_samples_per_image)
+    for b, p in zip(batches, pix):
+        b["pix_idx"] = p
+    model, state = _transplanted_state(cfg, batches)
+    step_fn = make_contrast_train_step(cfg, model, steps_per_epoch=steps)
+
+    keys = ("loss", "loss_rgb2depth", "loss_depth2rgb", "loss_rgb2joint",
+            "loss_d2joint", "loss_scl")
+    got = {k: [] for k in keys}
+    for t, b in enumerate(batches):
+        jb = {k: jnp.asarray(v) for k, v in b.items()}
+        state, metrics = step_fn(state, jb, jax.random.PRNGKey(100 + t))
+        for k in keys:
+            got[k].append(metrics[k])
+
+    for key in keys:
+        ours = np.asarray(jax.device_get(got[key]), np.float64)
+        ref = golden[key]
+        np.testing.assert_allclose(ours[0], ref[0], rtol=1e-3,
+                                   err_msg=f"{key} step 0")
+        env = np.abs(golden["pert_" + key] - ref).mean()
+        dev = np.abs(ours - ref).mean()
+        scale = np.abs(ref).mean()
+        assert dev <= max(2.0 * env, 0.02 * scale), (
+            f"{key}: mean dev {dev:.4f} vs envelope {env:.4f} "
+            f"(scale {scale:.3f})")

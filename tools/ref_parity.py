@@ -67,6 +67,9 @@ class FixedDraw:
         return out
 
 
+_ORIG_MULTINOMIAL = torch.Tensor.multinomial
+
+
 class FixedMultinomial:
     """Replaces torch.Tensor.multinomial for the stage-2 soft-pri3d pixel
     sample (contrast_trainer.py:685).  Rows are matched by count: the
@@ -76,7 +79,7 @@ class FixedMultinomial:
 
     def __init__(self):
         self.queue = []
-        self.orig = torch.Tensor.multinomial
+        self.orig = _ORIG_MULTINOMIAL
 
     def push(self, pix_idx):
         self.queue.append(torch.from_numpy(np.ascontiguousarray(pix_idx)))
@@ -116,19 +119,6 @@ class MeterTap:
         v = self.values
         assert len(v) % n_per_step == 0, (len(v), n_per_step)
         return np.asarray(v, np.float64).reshape(-1, n_per_step)
-
-
-def pinned_pixel_indices(depth_mask, crop, num_samples, rng):
-    """Uniform over valid pixels of the nearest-/4-downsampled depth mask —
-    the distribution the reference's multinomial draws from."""
-    h = crop // 4
-    valid = depth_mask[:, ::4, ::4].reshape(depth_mask.shape[0], h * h)
-    out = np.zeros((depth_mask.shape[0], num_samples), np.int64)
-    for b in range(depth_mask.shape[0]):
-        cand = np.nonzero(valid[b] > 0)[0]
-        assert cand.size > 0
-        out[b] = rng.choice(cand, num_samples, replace=True)
-    return out
 
 
 def run_reference(stage, steps, perturb=0.0):
@@ -200,15 +190,14 @@ def run_reference(stage, steps, perturb=0.0):
                                 weight_decay=pc.WEIGHT_DECAY)
 
     batches = pc.synth_batches(steps=steps, stage2=stage2)
-    pix_rng = np.random.default_rng(17)
     mn = FixedMultinomial()
+    if stage2:
+        for pix in pc.stage2_pixel_indices(
+                batches, args.pri3d_num_samples_per_image):
+            mn.push(pix)
     loader = []
     for b in batches:
         draw.push(b["neg_idx"].reshape(-1))
-        if stage2:
-            mn.push(pinned_pixel_indices(
-                b["depth_mask"], pc.CROP,
-                args.pri3d_num_samples_per_image, pix_rng))
         inputs = torch.from_numpy(
             np.transpose(b["rgbd"], (0, 3, 1, 2)).copy())
         dummy = torch.zeros(b["index"].shape[0])
@@ -233,13 +222,16 @@ def run_reference(stage, steps, perturb=0.0):
     tap = MeterTap()
     tap.install()
     if stage2:
-        torch.Tensor.multinomial = lambda t, n, replacement=False, **kw: \
-            mn(t, n, replacement=replacement, **kw)
+        torch.Tensor.multinomial = (
+            lambda t, num_samples, replacement=False, **kw:
+            mn(t, num_samples, replacement=replacement, **kw))
 
     if stage2:
+        # main_contrast.py:71-73: criterion_pri3d is a LIST of two CEs
         trainer._train_bank_joints_pri3d_cmc3(
             1, loader, model, contrast, criterion,
-            torch.nn.CrossEntropyLoss(), optimizer)
+            [torch.nn.CrossEntropyLoss(), torch.nn.CrossEntropyLoss()],
+            optimizer)
         rows = tap.per_step(15)
         # order (contrast_trainer.py:1000-1018): data_time, loss, acc1,
         # acc2, acc3, l_r2d, l_d2r, a_r2d, a_d2r, l_r2j, l_d2j, a_r2j,
@@ -270,7 +262,7 @@ def run_reference(stage, steps, perturb=0.0):
     out["head1_w_final"] = model.head1[0].weight.detach().numpy()
     lutil.AverageMeter.update = _ORIG_METER_UPDATE
     if stage2:
-        torch.Tensor.multinomial = FixedMultinomial().orig
+        torch.Tensor.multinomial = _ORIG_MULTINOMIAL
     return out
 
 
