@@ -97,7 +97,7 @@ def update_memory(bank: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray,
 
 def _cmc3_logits_gather(banks: jnp.ndarray, feats: jnp.ndarray,
                         idx: jnp.ndarray, temperature: float,
-                        chunk: int = 2048) -> Tuple[jnp.ndarray, ...]:
+                        chunk: int = 1024) -> Tuple[jnp.ndarray, ...]:
     """Six cross-modal logit matrices via row-gather + einsum, chunked
     over K.
 

@@ -167,3 +167,111 @@ class TestMoCo:
         e0 = jax.tree_util.tree_leaves(state.params_ema)[0]
         e1 = jax.tree_util.tree_leaves(new_state.params_ema)[0]
         assert not np.allclose(np.asarray(e0), np.asarray(e1))
+
+    def test_moco_keys_invariant_to_shard_layout(self):
+        """The ShuffleBN invariant (contrast_trainer.py:167-210): key
+        features must not depend on how the batch is laid out across
+        devices.  The reference enforces this by shuffling samples across
+        GPUs before the per-GPU-BN key pass; our redesign gets it from
+        global sync-BN + an in-step permutation.  Verified by running the
+        SAME moco step single-device and sharded over the 8-device mesh:
+        queues (the enqueued keys) and updated params must agree."""
+        cfg = tiny_cfg(modal="CMC", arch="resnet18", mem="moco", nce_k=32,
+                       modality_missing=False, batch_size=8)
+        model = build_model(cfg)
+        rng = np.random.default_rng(0)
+        batch = {
+            # two 6-channel crops (CMC split (3,3) per crop) = 12 channels
+            "rgbd": rng.standard_normal((8, 32, 32, 12)).astype(np.float32),
+            "index": np.arange(8, dtype=np.int32),
+        }
+        state = create_train_state(
+            cfg, model, jax.random.PRNGKey(0),
+            {"rgbd": batch["rgbd"][..., :6]}, n_data=N_DATA,
+            steps_per_epoch=2)
+        step = make_contrast_train_step(cfg, model, steps_per_epoch=2)
+
+        s1, m1 = step(state, batch, jax.random.PRNGKey(7))
+
+        mesh = make_mesh()
+        sharded = shard_batch(batch, mesh)
+        state_sh = jax.device_put(state, replicated_sharding(mesh))
+        s2, m2 = step(state_sh, sharded, jax.random.PRNGKey(7))
+
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-5)
+        # the enqueued keys ARE the ShuffleBN invariant: bit-identical
+        np.testing.assert_allclose(np.asarray(s1.moco.queues),
+                                   np.asarray(s2.moco.queues),
+                                   rtol=0, atol=1e-6)
+        # params after one SGD step only match loosely: the 8-way psum
+        # reorders fp32 summation and backward roundoff amplifies through
+        # depth (measured: torch fp32 is ~8e-3 off its own fp64 grads at
+        # the stem — tools/ref_parity.py)
+        p1 = jax.tree_util.tree_leaves(s1.params)
+        p2 = jax.tree_util.tree_leaves(s2.params)
+        for a, b in zip(p1, p2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-2, atol=5e-2)
+
+
+class TestBankCollisions:
+    def test_update_memory_last_write_wins_sharded(self):
+        """SURVEY §7 hard-part 3: duplicate sample indices across shards
+        must resolve exactly like torch index_copy_ (mem_bank.py:15-28) —
+        the LAST occurrence in batch order wins — bit-identically on the
+        8-device mesh."""
+        from hcmoco_tpu.contrast.memory import update_memory
+
+        dim, n_data = 16, 32
+        rng = np.random.default_rng(5)
+        bank = rng.standard_normal((n_data, dim)).astype(np.float32)
+        bank /= np.linalg.norm(bank, axis=-1, keepdims=True)
+        x = rng.standard_normal((8, dim)).astype(np.float32)
+        # duplicates within shards and across shard boundaries
+        y = np.array([3, 3, 5, 5, 5, 2, 2, 0], np.int32)
+
+        mesh = make_mesh()
+        bank_d = jax.device_put(jnp.asarray(bank),
+                                replicated_sharding(mesh))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        x_d = jax.device_put(jnp.asarray(x), NamedSharding(mesh, P("data")))
+        y_d = jax.device_put(jnp.asarray(y), NamedSharding(mesh, P("data")))
+
+        out = jax.jit(update_memory, static_argnames="m")(
+            bank_d, x_d, y_d, m=0.5)
+
+        # numpy reference: sequential last-write-wins
+        expect = bank.copy().astype(np.float64)
+        for i in range(8):
+            w = 0.5 * bank[y[i]].astype(np.float64) + 0.5 * x[i]
+            expect[y[i]] = w / max(np.sqrt((w ** 2).sum()), 1e-12)
+        got = np.asarray(out)
+        np.testing.assert_allclose(got, expect.astype(np.float32),
+                                   rtol=1e-5, atol=1e-6)
+        # rows written exactly once per final occurrence; untouched rows
+        # bit-identical
+        untouched = np.setdiff1d(np.arange(n_data), y)
+        np.testing.assert_array_equal(got[untouched], bank[untouched])
+
+    def test_stage1_step_with_cross_shard_collisions(self):
+        """Full sharded stage-1 step where the batch's sample indices
+        collide across shards: banks must match the single-device step."""
+        cfg = tiny_cfg(batch_size=8)
+        model, batch, state, step = setup(cfg)
+        batch = dict(batch)
+        batch["index"] = np.array([7, 7, 7, 1, 1, 9, 9, 9], np.int32)
+
+        s1, m1 = step(state, batch, jax.random.PRNGKey(11))
+        mesh = make_mesh()
+        sharded = shard_batch(batch, mesh)
+        state_sh = jax.device_put(state, replicated_sharding(mesh))
+        s2, m2 = step(state_sh, sharded, jax.random.PRNGKey(11))
+
+        b1 = np.asarray(s1.memory.banks)
+        b2 = np.asarray(s2.memory.banks)
+        np.testing.assert_allclose(b1, b2, rtol=2e-3, atol=1e-5)
+        # collided rows ended unit-norm (i.e. a single coherent winner, not
+        # a mixed/raced write)
+        norms = np.linalg.norm(b2, axis=-1)
+        np.testing.assert_allclose(norms, 1.0, rtol=1e-4)
