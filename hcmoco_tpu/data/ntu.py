@@ -26,7 +26,7 @@ import numpy as np
 from PIL import Image
 
 from .transforms import (
-    IMAGENET_MEAN, IMAGENET_STD, KINECT2MPII, normalize_rgb,
+    IMAGENET_MEAN, IMAGENET_STD, KINECT2MPII, crop_pad, normalize_rgb,
     random_resized_crop_params, resized_crop, positional_encoding,
     joint_heatmap_rgb, transform_heatmap,
 )
@@ -89,9 +89,14 @@ class NTURGBDPairs:
     def __getitem__(self, index) -> Dict[str, np.ndarray]:
         rng = self._rng
         img, depth_raw = self._load_pair(index)
-        ind = np.where(depth_raw > 0)
-        xmin, xmax = ind[0].min(), ind[0].max()
-        ymin, ymax = ind[1].min(), ind[1].max()
+        # valid-depth bbox via axis reductions (np.where built two full
+        # index arrays per sample — the round-1 input-pipeline hotspot)
+        rows = (depth_raw > 0).any(axis=1)
+        cols = (depth_raw > 0).any(axis=0)
+        xmin = int(np.argmax(rows))
+        xmax = int(len(rows) - 1 - np.argmax(rows[::-1]))
+        ymin = int(np.argmax(cols))
+        ymax = int(len(cols) - 1 - np.argmax(cols[::-1]))
         depth = Image.fromarray(depth_raw)
 
         if self.random_resized_crop:
@@ -129,15 +134,36 @@ class NTUSkeleton3D(NTURGBDPairs):
     def _skeleton_dict(self, index) -> dict:
         return load_skeleton_pkl(self.skeleton_list[index])
 
-    def load_raw(self, index):
+    def _frame_hw(self, index):
+        """(frame_h, frame_w) without forcing a decode when avoidable."""
+        img, depth = self._load_pair(index)
+        self._pair_cache = (index, img, depth)
+        return img.size[1], img.size[0]
+
+    def _load_region(self, index, i, j, h, w):
+        """(rgb uint8 (h,w,3), depth uint16 (h,w)) crop window, zero-padded
+        outside the frame.  File-backed default decodes the full frame;
+        the packed dataset overrides with an mmap slice that reads only
+        the crop bytes."""
+        cache = getattr(self, "_pair_cache", None)
+        if cache is not None and cache[0] == index:
+            img, depth = cache[1], cache[2]
+        else:
+            img, depth = self._load_pair(index)
+        return (crop_pad(np.asarray(img, np.uint8), i, j, h, w),
+                crop_pad(np.asarray(depth), i, j, h, w))
+
+    def load_raw(self, index, raw_output: bool = False):
         """Returns (rgbd HWC6, joints3d, skeleton_dict, crop params).
         Mirrors NTURGBD3DSkeleton.__getitem__(return_resize_param=True).
-        Sources come through the _load_pair/_skeleton_dict hooks so the
-        packed (mmap) dataset can substitute decode-free reads."""
+        Sources come through the _load_region/_skeleton_dict hooks so the
+        packed (mmap) dataset can substitute decode-free reads.
+
+        raw_output=True skips host-side normalization: rgbd is returned as
+        a dict {"rgb_u8": (H,W,3) uint8, "depth_mm": (H,W) uint16} and the
+        train step normalizes on device (4.7x fewer host->device bytes)."""
         rng = self._rng
-        img, depth_raw = self._load_pair(index)
-        depth = Image.fromarray(depth_raw)
-        original_h, original_w = img.size[1], img.size[0]
+        original_h, original_w = self._frame_hw(index)
 
         sk = self._skeleton_dict(index)
         joints3d = np.array([j for j in sk["joints"][0]["3d_loc"]],
@@ -152,26 +178,41 @@ class NTUSkeleton3D(NTURGBDPairs):
             rand_x = int(rng.integers(int(hx0), max(int(hx1), int(hx0) + 1)))
             rand_y = int(rng.integers(int(hy0), max(int(hy1), int(hy0) + 1)))
             _, _, h, w = random_resized_crop_params(
-                rng, img.size[1], img.size[0], (0.08, 1.2), (1.0, 1.0))
+                rng, original_h, original_w, (0.08, 1.2), (1.0, 1.0))
             i = int(rand_x - h / 2.0)
             j = int(rand_y - w / 2.0)
-            img = resized_crop(img, i, j, h, w, self.size)
-            depth = resized_crop(depth, i, j, h, w, self.size, nearest=True)
+            rgb_crop, depth_crop = self._load_region(index, i, j, h, w)
+            img = Image.fromarray(rgb_crop).resize(self.size, Image.BILINEAR)
+            depth = Image.fromarray(depth_crop).resize(self.size,
+                                                       Image.NEAREST)
         else:
-            i, j, h, w = 0, 0, img.size[0], img.size[1]
+            i, j, h, w = 0, 0, original_w, original_h
+            rgb_full, depth_full = self._load_region(
+                index, 0, 0, original_h, original_w)
+            img = Image.fromarray(rgb_full)
+            depth = Image.fromarray(depth_full)
 
         need_flip = bool(rng.random() >= 0.5)
         if self.random_flip and need_flip:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
             depth = depth.transpose(Image.FLIP_LEFT_RIGHT)
 
+        params = (i, j, h, w, need_flip, original_h, original_w)
+        if raw_output:
+            rgbd = {"rgb_u8": np.asarray(img, np.uint8),
+                    "depth_mm": np.asarray(depth, np.uint16)}
+            return rgbd, joints3d, sk, params
+
         rgb = normalize_rgb(np.array(img))
         d = np.array(depth).astype(np.float32) / 1000.0
         rgbd = np.concatenate([rgb, np.repeat(d[..., None], 3, -1)], -1)
-        params = (i, j, h, w, need_flip, original_h, original_w)
         return rgbd, joints3d, sk, params
 
     def __getitem__(self, index):
+        if getattr(self, "raw_output", False):
+            raw, joints3d, _, _ = self.load_raw(index, raw_output=True)
+            return {"rgb_u8": raw["rgb_u8"], "depth_mm": raw["depth_mm"],
+                    "index": np.int32(index), "joints3d": joints3d}
         rgbd, joints3d, _, _ = self.load_raw(index)
         return {"rgbd": rgbd, "index": np.int32(index),
                 "joints3d": joints3d}

@@ -72,7 +72,8 @@ class PackedNTUSkeleton(NTUSkeleton3D):
 
     def __init__(self, packed_dir: str, size: int = 320,
                  random_flip: bool = False,
-                 random_resized_crop: bool = False, seed: int = 0):
+                 random_resized_crop: bool = False, seed: int = 0,
+                 raw_output: bool = False):
         with open(os.path.join(packed_dir, "meta.json")) as f:
             self.meta = json.load(f)
         self._rgb = np.load(os.path.join(packed_dir, "rgb.npy"),
@@ -93,11 +94,24 @@ class PackedNTUSkeleton(NTUSkeleton3D):
         self.ratio = (3.0 / 4, 4.0 / 3)
         self.random_flip = random_flip
         self.random_resized_crop = random_resized_crop
+        self.raw_output = raw_output
         self._rng = np.random.default_rng(seed)
 
     def _load_pair(self, index):
         img = Image.fromarray(np.asarray(self._rgb[index]))
         return img, np.asarray(self._depth[index])
+
+    def _frame_hw(self, index):
+        # constant frame size from the pack header — no page-in at all
+        return self.meta["h"], self.meta["w"]
+
+    def _load_region(self, index, i, j, h, w):
+        """Read ONLY the crop window's bytes from the mmap (the whole point
+        of the packed format: the kernel pages in ~h*w rows, not frames)."""
+        from .transforms import crop_pad
+
+        return (crop_pad(self._rgb[index], i, j, h, w),
+                crop_pad(self._depth[index], i, j, h, w))
 
     def _skeleton_dict(self, index):
         return {"joints": [{

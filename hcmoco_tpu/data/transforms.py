@@ -70,6 +70,19 @@ def resized_crop(img: Image.Image, i: int, j: int, h: int, w: int,
     return cropped.resize(size, Image.NEAREST if nearest else Image.BILINEAR)
 
 
+def crop_pad(arr: np.ndarray, i: int, j: int, h: int, w: int) -> np.ndarray:
+    """Numpy equivalent of PIL's out-of-bounds crop: (h, w[, C]) window at
+    row i / col j, zero-padded where the box leaves the frame.  Lets mmap-
+    backed datasets read only the crop bytes instead of the whole frame."""
+    out_shape = (h, w) + arr.shape[2:]
+    out = np.zeros(out_shape, arr.dtype)
+    si0, si1 = max(i, 0), min(i + h, arr.shape[0])
+    sj0, sj1 = max(j, 0), min(j + w, arr.shape[1])
+    if si0 < si1 and sj0 < sj1:
+        out[si0 - i:si1 - i, sj0 - j:sj1 - j] = arr[si0:si1, sj0:sj1]
+    return out
+
+
 def normalize_rgb(img: np.ndarray) -> np.ndarray:
     """uint8 HWC -> ImageNet-normalized float32."""
     x = img.astype(np.float32) / 255.0

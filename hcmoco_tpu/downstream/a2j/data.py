@@ -210,3 +210,60 @@ def evaluation_10cm(pred: np.ndarray, target_world: np.ndarray,
     if per_joint:
         return hit.mean(), hit.mean(axis=0)
     return hit.mean()
+
+
+def make_itop_fixture(out_dir: str, n_train: int = 32, n_test: int = 16,
+                      seed: int = 0):
+    """Tiny ITOP-format fixture: per-frame .mat files (DepthNormal +
+    keypointsPixel/World, the exact layout A2J/data/data_preprocess.py
+    emits) plus bndbox pickles.  Frames hold a synthetic 'body' (foreground
+    depth blob) with 15 keypoints in a fixed skeleton template, jittered a
+    few pixels / ~2 cm per frame — learnable by a small A2J head in tens of
+    steps, so tests can assert PCK@10cm actually improves.
+
+    Returns (train_dir, test_dir, bndbox_train_pkl, bndbox_test_pkl)."""
+    import pickle
+
+    import scipy.io as scio
+
+    h, w = 240, 320
+    base_z = 2.5
+    # 15-joint template around the image center (col, row) offsets
+    template = np.array([
+        (0, -60), (0, -40), (-25, -40), (25, -40), (-35, -10), (35, -10),
+        (-38, 20), (38, 20), (0, -10), (0, 20), (-12, 45), (12, 45),
+        (-14, 80), (14, 80), (0, 35),
+    ], np.float32) + np.array([160.0, 120.0], np.float32)
+
+    rng = np.random.default_rng(seed)
+    out = []
+    for split, n in (("train", n_train), ("test", n_test)):
+        d = os.path.join(out_dir, split)
+        os.makedirs(d, exist_ok=True)
+        boxes = np.zeros((n, 4), np.float32)
+        for i in range(n):
+            jitter = rng.uniform(-3, 3, template.shape).astype(np.float32)
+            kp_pixel = template + jitter
+            z = (base_z + rng.uniform(-0.02, 0.02, KEYPOINTS)).astype(
+                np.float32)
+            wx = (kp_pixel[:, 0] - 160.0) * z * 0.0035
+            wy = (120.0 - kp_pixel[:, 1]) * z * 0.0035
+            kp_world = np.stack([wx, wy, z], -1).astype(np.float32)
+
+            depth = np.full((h, w), 4.0, np.float32)  # far background
+            yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+            for (u, v), zz in zip(kp_pixel, z):
+                body = (xx - u) ** 2 + (yy - v) ** 2 < 18.0 ** 2
+                depth[body] = zz
+            dn = np.zeros((h, w, 4), np.float32)
+            dn[..., 3] = depth
+            scio.savemat(os.path.join(d, f"{i:05d}.mat"),
+                         {"DepthNormal": dn, "keypointsPixel": kp_pixel,
+                          "keypointsWorld": kp_world})
+            boxes[i] = (kp_pixel[:, 0].min() - 25, kp_pixel[:, 1].min() - 25,
+                        kp_pixel[:, 0].max() + 25, kp_pixel[:, 1].max() + 25)
+        pkl = os.path.join(out_dir, f"bndbox_{split}.pkl")
+        with open(pkl, "wb") as f:
+            pickle.dump(boxes, f)
+        out.extend([d, pkl])
+    return out[0], out[2], out[1], out[3]

@@ -49,6 +49,26 @@ from ..contrast.losses import (
 from .state import TrainState, make_optimizer
 
 
+IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
+IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+
+
+def device_normalize(batch):
+    """Datasets may ship raw uint8 rgb + uint16 depth-mm (4.7x fewer
+    host->device bytes than normalized f32 rgbd); normalization then fuses
+    into the first conv on device.  Same math as the host path
+    (transforms.normalize_rgb + depth/1000 x3, dataset.py:139-160)."""
+    if "rgb_u8" not in batch:
+        return batch
+    batch = dict(batch)
+    rgb = batch.pop("rgb_u8").astype(jnp.float32) / 255.0
+    rgb = (rgb - IMAGENET_MEAN) / IMAGENET_STD
+    d = batch.pop("depth_mm").astype(jnp.float32) / 1000.0
+    batch["rgbd"] = jnp.concatenate(
+        [rgb, jnp.repeat(d[..., None], 3, axis=-1)], axis=-1)
+    return batch
+
+
 def _apply(model, params, batch_stats, *args, train=True, rngs=None,
            **kwargs):
     variables = {"params": params}
@@ -103,6 +123,7 @@ def make_contrast_train_step(cfg: TrainConfig, model,
     tri_modal = cfg.modal == "RGBD2S"
 
     def loss_fn(params, batch_stats, memory: MemoryState, batch, rng):
+        batch = device_normalize(batch)
         rngs = jax.random.split(rng, 3)
         metrics: Dict[str, jnp.ndarray] = {}
         y = batch["index"]

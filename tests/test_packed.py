@@ -48,3 +48,26 @@ class TestPack:
         s = ds[len(ds.db)]  # NTU sample through the pack
         assert s["rgbd"].shape == (32, 32, 6)
         assert int(s["use_depth"]) == 1
+
+
+def test_raw_output_matches_host_normalize(packed):
+    """Device-side normalization of the raw uint8/uint16 pipeline output
+    must reproduce the host-normalized f32 rgbd exactly (same crop, same
+    math: contrast_step.device_normalize vs transforms.normalize_rgb)."""
+    import jax.numpy as jnp
+    from hcmoco_tpu.train.contrast_step import device_normalize
+
+    _, _, pack, _ = packed
+    ds_f32 = PackedNTUSkeleton(str(pack), size=64, random_flip=True,
+                               random_resized_crop=True, seed=7)
+    ds_raw = PackedNTUSkeleton(str(pack), size=64, random_flip=True,
+                               random_resized_crop=True, seed=7,
+                               raw_output=True)
+    a = ds_f32[3]
+    b = ds_raw[3]
+    assert set(b) >= {"rgb_u8", "depth_mm", "index"}
+    assert b["rgb_u8"].dtype == np.uint8
+    assert b["depth_mm"].dtype == np.uint16
+    got = np.asarray(device_normalize(
+        {k: jnp.asarray(v[None]) for k, v in b.items()})["rgbd"][0])
+    np.testing.assert_allclose(got, a["rgbd"], rtol=1e-6, atol=1e-6)

@@ -1,0 +1,121 @@
+"""End-to-end input-pipeline benchmark (VERDICT round-1 item 4).
+
+Measures how many samples/sec the PACKED pipeline (mmap read -> valid-depth
+bbox -> random-resized crop -> normalize -> collate, through the DataSource
+thread-pool prefetcher) can produce on this host, against the device step
+rate from bench.py.  The reference's pain point is its 40-worker DataLoader
+(scripts/*: --num_workers 40, per-sample PNG decode + pickle read); the
+packed format removes the decode entirely.
+
+Prints one JSON line:
+  {"metric": "hcmoco_input_pipeline_throughput", "value": <samples/s>,
+   "unit": "samples/sec", "input": "packed", ...}
+
+Note on end-to-end: this image reaches its single TPU chip through a
+dispatch tunnel that transfers host->device at ~5-25 MB/s, so feeding real
+batches to the chip measures the tunnel, not the design (a real TPU-VM
+ingests via local PCIe DMA at GB/s).  We therefore report host production
+rate and the overlap-model end-to-end rate min(host, device).
+
+Usage: python tools/bench_input.py [--batch 128] [--steps 20]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+FIXTURE = "/tmp/hcmoco_packed_fixture"
+
+
+def make_fixture(n=192, h=480, w=640):
+    """Synthetic pack in the real on-disk format (content is noise; the
+    cost profile — mmap page-in, crop, resize, normalize — is identical)."""
+    import json as _json
+
+    os.makedirs(FIXTURE, exist_ok=True)
+    rng = np.random.default_rng(0)
+    rgb = np.lib.format.open_memmap(
+        os.path.join(FIXTURE, "rgb.npy"), mode="w+", dtype=np.uint8,
+        shape=(n, h, w, 3))
+    depth = np.lib.format.open_memmap(
+        os.path.join(FIXTURE, "depth.npy"), mode="w+", dtype=np.uint16,
+        shape=(n, h, w))
+    tile = rng.integers(0, 255, (16, h, w, 3), np.uint8)
+    dtile = rng.integers(500, 4000, (16, h, w), np.uint16)
+    for i in range(n):
+        rgb[i] = tile[i % 16]
+        depth[i] = dtile[i % 16]
+    rgb.flush()
+    depth.flush()
+    j3 = rng.standard_normal((n, 25, 3)).astype(np.float32)
+    jd = rng.uniform(0, min(h, w), (n, 25, 2)).astype(np.float32)
+    np.save(os.path.join(FIXTURE, "joints3d.npy"), j3)
+    np.save(os.path.join(FIXTURE, "joints_d.npy"), jd)
+    with open(os.path.join(FIXTURE, "meta.json"), "w") as f:
+        _json.dump({"n": n, "h": h, "w": w, "root": FIXTURE,
+                    "file_list": "synthetic"}, f)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--crop", type=int, default=320)
+    ap.add_argument("--host_normalize", action="store_true",
+                    help="produce f32 normalized rgbd on host (old path) "
+                         "instead of uint8+uint16 with device-side "
+                         "normalization")
+    ap.add_argument("--device_rate", type=float, default=0.0,
+                    help="samples/s/chip from bench.py, for the overlap "
+                         "end-to-end estimate")
+    args = ap.parse_args()
+
+    if not os.path.exists(os.path.join(FIXTURE, "meta.json")):
+        print("building packed fixture...", file=sys.stderr)
+        make_fixture()
+
+    from hcmoco_tpu.data.packed import PackedNTUSkeleton
+    from hcmoco_tpu.data.pipeline import DataSource
+
+    ds = PackedNTUSkeleton(FIXTURE, size=args.crop, random_flip=True,
+                           random_resized_crop=True, seed=0,
+                           raw_output=not args.host_normalize)
+    n = len(ds.files)
+    src = DataSource(ds, args.batch, np.ones(n), seed=0,
+                     num_workers=8, prefetch=2)
+
+    it = iter(src)
+    # warm (page-in + pool spin-up)
+    for _ in range(3):
+        next(it)
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        b = next(it)
+    dt = time.perf_counter() - t0
+    host_rate = args.batch * args.steps / dt
+
+    out = {
+        "metric": "hcmoco_input_pipeline_throughput",
+        "value": round(host_rate, 1),
+        "unit": "samples/sec",
+        "input": "packed",
+        "host_normalize": bool(args.host_normalize),
+        "batch": args.batch,
+        "crop": args.crop,
+        "host_cores": os.cpu_count(),
+    }
+    if args.device_rate > 0:
+        out["device_rate"] = args.device_rate
+        out["e2e_overlap_rate"] = round(min(host_rate, args.device_rate), 1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
