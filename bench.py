@@ -29,12 +29,14 @@ def main():
     from hcmoco_tpu.train.contrast_step import make_contrast_train_step
     from hcmoco_tpu.data.synthetic import synthetic_contrast_batch
 
+    import os
+
     n_chips = len(jax.devices())
     # 112/chip (no remat) is the measured sweet spot on v5e-16GB: HRNet's
     # thin 18-36-72ch branches underfill the 128-lane MXU, so larger
     # batches amortize (honest sweep: 145/s @56, 212/s @112, 223/s @128; remat @160
     # loses to recompute cost).
-    per_chip = 128
+    per_chip = int(os.environ.get("BENCH_PER_CHIP", "112"))
     batch_size = per_chip * n_chips
     n_data = 8192
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -142,6 +143,97 @@ def _cmc3_logits_gather(banks: jnp.ndarray, feats: jnp.ndarray,
     return tuple(full[i, :, :kp1] / temperature for i in range(6))
 
 
+# (query feat index, bank index) for the six CMCMem3 directions
+# 12, 21, 23, 32, 13, 31 (mem_bank.py:176-191)
+_CMC3_DIRS = ((0, 1), (1, 0), (1, 2), (2, 1), (0, 2), (2, 0))
+
+
+@jax.custom_vjp
+def _cmc3_logits_hybrid(feats: jnp.ndarray, banks: jnp.ndarray,
+                        idx: jnp.ndarray) -> jnp.ndarray:
+    """Six (bsz, K+1) un-scaled logit matrices, stacked: (6, bsz, K+1).
+
+    TPU-first hybrid formulation (round-2 profile-driven):
+      * forward: dense score matrices S = f @ bank.T on the MXU + a scalar
+        take_along_axis — no (bsz, K+1, dim) row materialization.  The naive
+        dense formulation's weakness is its BACKWARD (the take_along_axis
+        VJP scatters (bsz, K+1) grads into (bsz, n_data), ~37% of the
+        round-1 step), and the row-gather formulation's weakness is its
+        forward+recompute (2x ~3 GB of gather traffic, ~23% of the round-1
+        step, profile: tools/xplane_top_ops.py).
+      * backward (custom VJP below): df_q[b] = sum_k g[b,k] * bank[idx[b,k]]
+        — ONE chunked row-gather pass shared by all three banks and all six
+        directions, no scatter anywhere.
+    Identical math to BaseMem._compute_logit (mem_bank.py:30-40); bank rows
+    carry no gradient (torch buffers)."""
+    f = feats.astype(jnp.float32)
+    b = jax.lax.stop_gradient(banks)
+    return jnp.stack([
+        jnp.take_along_axis(f[qi] @ b[bi].T, idx, axis=1)
+        for qi, bi in _CMC3_DIRS])
+
+
+def _cmc3_hybrid_fwd(feats, banks, idx):
+    return _cmc3_logits_hybrid(feats, banks, idx), (banks, idx)
+
+
+def _cmc3_hybrid_bwd(res, g, chunk: int = 1024):
+    banks, idx = res
+    bsz, kp1 = idx.shape
+    dim = banks.shape[-1]
+    g = g.astype(jnp.float32)
+
+    def accumulate(w, g_c):
+        # w: (3, bsz, c, dim) gathered rows; g_c: (6, bsz, c)
+        df = [0.0, 0.0, 0.0]
+        for d, (qi, bi) in enumerate(_CMC3_DIRS):
+            df[qi] = df[qi] + jnp.einsum("bk,bkd->bd", g_c[d], w[bi])
+        return jnp.stack(df)
+
+    if kp1 <= chunk:
+        w = jnp.take(banks, idx, axis=1)
+        df = accumulate(w, g)
+    elif (kp1 - 1) % chunk == 0:
+        # common case (K+1 = nce_k+1, nce_k % chunk == 0): positive column
+        # handled directly, then clean chunks sliced in-place — no padded /
+        # transposed copies of the ~50 MB g tensor (bs128 @K16384 OOMed
+        # with them on the 16 GB chip)
+        w0 = jnp.take(banks, idx[:, 0], axis=1)  # (3, bsz, dim)
+        df = jnp.stack([
+            sum(g[d][:, 0:1] * w0[bi]
+                for d, (qi, bi) in enumerate(_CMC3_DIRS) if qi == q)
+            for q in range(3)])
+
+        def body(acc, start):
+            ic = jax.lax.dynamic_slice_in_dim(idx, start, chunk, axis=1)
+            gc = jax.lax.dynamic_slice_in_dim(g, start, chunk, axis=2)
+            w = jnp.take(banks, ic, axis=1)  # one gather, 3 banks
+            return acc + accumulate(w, gc), None
+
+        starts = 1 + chunk * jnp.arange((kp1 - 1) // chunk)
+        df, _ = jax.lax.scan(body, df, starts)
+    else:
+        nchunks = -(-kp1 // chunk)
+        pad = nchunks * chunk - kp1
+        idx_c = jnp.pad(idx, ((0, 0), (0, pad))).reshape(
+            bsz, nchunks, chunk).transpose(1, 0, 2)
+        g_c = jnp.pad(g, ((0, 0), (0, 0), (0, pad))).reshape(
+            6, bsz, nchunks, chunk).transpose(2, 0, 1, 3)
+
+        def body(acc, args):
+            ic, gc = args
+            w = jnp.take(banks, ic, axis=1)  # one gather, 3 banks
+            return acc + accumulate(w, gc), None
+
+        df, _ = jax.lax.scan(
+            body, jnp.zeros((3, bsz, dim), jnp.float32), (idx_c, g_c))
+    return (df, jnp.zeros_like(banks),
+            np.zeros(idx.shape, dtype=jax.dtypes.float0))
+
+
+_cmc3_logits_hybrid.defvjp(_cmc3_hybrid_fwd, _cmc3_hybrid_bwd)
+
+
 def cmc3_forward(
     state: MemoryState,
     feats: jnp.ndarray,  # (3, bsz, dim) local features f1,f2,f3
@@ -154,6 +246,7 @@ def cmc3_forward(
     m: float = 0.5,
     dense_scores: bool = True,
     neg_idx: jnp.ndarray = None,
+    mode: str = None,
 ) -> Tuple[Tuple[jnp.ndarray, ...], MemoryState]:
     """CMCMem3.forward (mem_bank.py:172-205): 6 cross-modal logit matrices
     (12,21,23,32,13,31) with label 0, then EMA-update all three banks from
@@ -161,11 +254,20 @@ def cmc3_forward(
 
     neg_idx: optional precomputed (bsz, K+1) indices (positive in col 0)
     overriding the uniform draw — used by the reference-parity harness to
-    pin the multinomial sample on both frameworks."""
+    pin the multinomial sample on both frameworks.
+
+    mode selects the logits formulation ('hybrid' | 'dense' | 'gather');
+    default 'hybrid' (falls back to dense_scores for back-compat when mode
+    is None and dense_scores=True). All three are the same math."""
     idx = (neg_idx if neg_idx is not None
            else sample_negative_indices(rng, y, state.n_data, k))
+    if mode is None:
+        mode = "dense" if dense_scores else "hybrid"
 
-    if dense_scores:
+    if mode == "hybrid":
+        logits = tuple(_cmc3_logits_hybrid(feats, state.banks, idx)
+                       / temperature)
+    elif mode == "dense":
         def lg(x, bank_i):
             return memory_logits(x, state.banks[bank_i], idx, temperature,
                                  dense_scores=True)

@@ -154,10 +154,14 @@ class TrainConfig:
     alpha: float = 0.999  # moco EMA
     pri3d_num_samples_per_image: int = 400
     modality_missing: bool = False
-    # bank logits formulation: gather rows + einsum (False) avoids the slow
-    # TPU scalar-gather and its backward scatter that dominated the round-1
-    # profile (~37% of step time); dense score-matrix (True) kept as option
-    dense_scores: bool = False
+    # bank logits formulation (same math, different TPU cost):
+    #   'hybrid' (default): dense score matmul forward + custom-VJP chunked
+    #     row-gather backward — no scatter, one gather pass (round-2 profile)
+    #   'gather': row-gather + einsum fwd/bwd (round-1 formulation)
+    #   'dense': dense matmul + take_along_axis both ways (backward scatters,
+    #     ~37% of the round-1 step — kept for comparison)
+    bank_logits: str = "hybrid"
+    dense_scores: bool = False  # back-compat alias for bank_logits='dense'
     beta: float = 0.5  # PIRL jigsaw-vs-instance weight (train_options.py)
 
     # optimization

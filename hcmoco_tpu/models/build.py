@@ -144,29 +144,45 @@ class SingleModalModel(nn.Module):
 
 
 class CMCDualModel(nn.Module):
-    """CMCSingleHead analog (build_backbone.py:85-147): channel-split two
-    ResNets + per-modality heads."""
+    """CMCSingleHead / CMCMultiHeads analog (build_backbone.py:85-184):
+    channel-split two ResNets + per-modality heads; with ``jigsaw`` the PIRL
+    patch stack runs through the same encoders and per-modality JigsawHeads
+    (CMCMultiHeads.forward mode 0, build_backbone.py:160-178)."""
 
     arch: str = "resnet50"
     feat_dim: int = 128
     head: str = "linear"
     in_channel_list: Tuple[int, ...] = (1, 2)
+    jigsaw: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, train: bool = True, project: bool = True):
+    def __call__(self, x, train: bool = True, project: bool = True,
+                 x_jig=None, shuffle_ids=None):
         c1 = self.in_channel_list[0]
         x1, x2 = x[..., :c1], x[..., c1:]
-        p1 = make_resnet(self.arch, in_channel=c1,
-                         dtype=self.dtype).copy(name="encoder1")(x1, train)
-        p2 = make_resnet(self.arch, in_channel=self.in_channel_list[1],
-                         dtype=self.dtype).copy(name="encoder2")(x2, train)
+        enc1 = make_resnet(self.arch, in_channel=c1,
+                           dtype=self.dtype).copy(name="encoder1")
+        enc2 = make_resnet(self.arch, in_channel=self.in_channel_list[1],
+                           dtype=self.dtype).copy(name="encoder2")
+        p1 = enc1(x1, train)
+        p2 = enc2(x2, train)
         out = {"pooled1": p1, "pooled2": p2}
         if project:
             out["feat1"] = ProjectionHead(self.feat_dim, self.head,
                                           name="head1")(p1)
             out["feat2"] = ProjectionHead(self.feat_dim, self.head,
                                           name="head2")(p2)
+        if self.jigsaw and x_jig is not None:
+            from .heads import JigsawHead
+
+            # x_jig: (B*9, h, w, c1+c2) patch stack, channel-split like x
+            pj1 = enc1(x_jig[..., :c1], train)
+            pj2 = enc2(x_jig[..., c1:], train)
+            out["feat1_jig"] = JigsawHead(self.feat_dim, k=9, head=self.head,
+                                          name="head1_jig")(pj1, shuffle_ids)
+            out["feat2_jig"] = JigsawHead(self.feat_dim, k=9, head=self.head,
+                                          name="head2_jig")(pj2, shuffle_ids)
         return out
 
 
@@ -208,6 +224,7 @@ def build_model(cfg: TrainConfig) -> nn.Module:
         return CMCDualModel(arch=cfg.arch, feat_dim=cfg.feat_dim,
                             head=cfg.head,
                             in_channel_list=tuple(cfg.in_channel_list),
+                            jigsaw=cfg.jigsaw,
                             dtype=dtype)
     if cfg.modal == "RGB":
         return SingleModalModel(arch=cfg.arch, feat_dim=cfg.feat_dim,

@@ -43,7 +43,18 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh):
-    """Device-put a pytree of host arrays, batch-dim sharded over 'data'."""
+    """Device-put a pytree of host arrays, batch-dim sharded over 'data'.
+
+    Under multi-process (`jax.distributed.initialize`, the reference's
+    multi-node DDP analog) each process passes its LOCAL batch portion and
+    the pytree is assembled into the global sharded array — the moral
+    equivalent of DistributedSampler feeding per-rank loaders
+    (base_trainer.py:120-141)."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.host_local_array_to_global_array(
+            batch, mesh, P("data"))
     sh = batch_sharding(mesh)
 
     def put(x):

@@ -160,31 +160,61 @@ def make_contrast_train_step(cfg: TrainConfig, model,
             logits, new_memory = cmc3_forward(
                 memory, feats, y, feats, y, rngs[0],
                 k=cfg.nce_k, temperature=cfg.nce_t, m=cfg.nce_m,
-                dense_scores=cfg.dense_scores,
-                neg_idx=batch.get("neg_idx"))
+                neg_idx=batch.get("neg_idx"),
+                mode="dense" if cfg.dense_scores else cfg.bank_logits)
             losses, accs = compute_loss_accuracy(
                 logits, use_depth=use_depth,
                 use_rgb=use_rgb if stage2 is False else None)
             names = ["12", "21", "23", "32", "13", "31"]
         elif cfg.modal == "CMC":
+            apply_kw = {}
+            if cfg.jigsaw and "rgbd_jig" in batch:
+                # CMCMultiHeads (build_backbone.py:148-184): PIRL patch
+                # stack through both encoders + per-modality jigsaw heads
+                bsz = y.shape[0]
+                perms = jax.vmap(
+                    lambda k: jax.random.permutation(k, 9))(
+                    jax.random.split(rngs[2], bsz))
+                shuffle_ids = (perms
+                               + jnp.arange(bsz)[:, None] * 9).reshape(-1)
+                xj = batch["rgbd_jig"]
+                apply_kw = {"x_jig": xj.reshape(-1, *xj.shape[2:]),
+                            "shuffle_ids": shuffle_ids}
             out, new_bs = _apply(model, params, batch_stats, batch["rgbd"],
-                                 train=True)
+                                 train=True, **apply_kw)
             idx = sample_negative_indices(rngs[0], y, memory.n_data,
                                           cfg.nce_k)
             # CMCMem.forward (mem_bank.py:109-154): cross-modal logits
-            logits = (
+            logits = [
                 memory_logits(out["feat1"], memory.banks[1], idx, cfg.nce_t,
                               cfg.dense_scores),
                 memory_logits(out["feat2"], memory.banks[0], idx, cfg.nce_t,
                               cfg.dense_scores),
-            )
+            ]
+            names = ["12", "21"]
+            if "feat1_jig" in out:
+                # the reference trainer swaps the jig args into CMCMem
+                # (contrast_trainer.py:447-448: contrast(f1, f2, y,
+                # f2_jig, f1_jig, ...)), so logits1_jig = f2_jig . w2 and
+                # logits2_jig = f1_jig . w1 — same-modality jig NCE
+                logits.append(memory_logits(out["feat2_jig"],
+                                            memory.banks[1], idx,
+                                            cfg.nce_t, cfg.dense_scores))
+                logits.append(memory_logits(out["feat1_jig"],
+                                            memory.banks[0], idx,
+                                            cfg.nce_t, cfg.dense_scores))
+                names += ["jig2", "jig1"]
             banks = jnp.stack([
                 update_memory(memory.banks[0], out["feat1"], y, cfg.nce_m),
                 update_memory(memory.banks[1], out["feat2"], y, cfg.nce_m),
             ])
             new_memory = MemoryState(banks=banks)
-            losses, accs = compute_loss_accuracy(logits)
-            names = ["12", "21"]
+            losses, accs = compute_loss_accuracy(tuple(logits))
+            if "feat1_jig" in out:
+                # (1-beta)*(l12+l21) + beta*(l_jig) (contrast_trainer.py:452)
+                losses = [(1 - cfg.beta) * losses[0],
+                          (1 - cfg.beta) * losses[1],
+                          cfg.beta * losses[2], cfg.beta * losses[3]]
         else:  # RGB (InsDis/PIRL): single bank, RGBMem (mem_bank.py:55-90)
             apply_kw = {}
             if cfg.jigsaw and "rgbd_jig" in batch:
@@ -278,7 +308,20 @@ def make_contrast_train_step(cfg: TrainConfig, model,
         x = batch["rgbd"]
         c = x.shape[-1] // 2
         q_in, k_in = x[..., :c], x[..., c:]
-        out_q, new_bs = _apply(model, params, batch_stats, q_in, train=True)
+        rng, jig_rng = jax.random.split(rng)
+        apply_kw = {}
+        if cfg.jigsaw and "rgbd_jig" in batch:
+            # query pass carries the PIRL patch stack (moco trainer
+            # contrast_trainer.py:296-300); key pass runs without it
+            bsz = x.shape[0]
+            perms = jax.vmap(lambda k: jax.random.permutation(k, 9))(
+                jax.random.split(jig_rng, bsz))
+            shuffle_ids = (perms + jnp.arange(bsz)[:, None] * 9).reshape(-1)
+            xj = batch["rgbd_jig"]
+            apply_kw = {"x_jig": xj.reshape(-1, *xj.shape[2:]),
+                        "shuffle_ids": shuffle_ids}
+        out_q, new_bs = _apply(model, params, batch_stats, q_in, train=True,
+                               **apply_kw)
         # key encoder: EMA params, no BN-stat mutation, batch permuted
         # (ShuffleBN analog; with global sync-BN this is belt-and-braces)
         perm = jax.random.permutation(rng, x.shape[0])
@@ -294,17 +337,35 @@ def make_contrast_train_step(cfg: TrainConfig, model,
             l1, a1 = nce_loss_and_acc(lg1)
             l2, a2 = nce_loss_and_acc(lg2)
             loss = l1 + l2
+            metrics = {"nce_acc_12": a1, "nce_acc_21": a2}
+            if "feat1_jig" in out_q:
+                # swapped jig args (contrast_trainer.py:306): same-modality
+                # jig NCE, loss = (1-b)(l1+l2) + b*(l1j+l2j) (:308-311)
+                l1j, a1j = nce_loss_and_acc(moco_logits(
+                    out_q["feat2_jig"], k2, moco.queues[1], cfg.nce_t))
+                l2j, a2j = nce_loss_and_acc(moco_logits(
+                    out_q["feat1_jig"], k1, moco.queues[0], cfg.nce_t))
+                loss = (1 - cfg.beta) * loss + cfg.beta * (l1j + l2j)
+                metrics.update(nce_acc_jig2=a1j, nce_acc_jig1=a2j,
+                               loss_jig=0.5 * (l1j + l2j))
             new_moco = moco_enqueue(moco, jnp.stack([k1, k2]))
-            return loss, (new_bs, new_moco,
-                          {"loss": loss, "nce_acc_12": a1,
-                           "nce_acc_21": a2})
+            metrics["loss"] = loss
+            return loss, (new_bs, new_moco, metrics)
         k_feat = out_k["feat"][inv]
         logits = moco_logits(out_q["feat"], k_feat, moco.queues[0],
                              cfg.nce_t)
         loss, acc = nce_loss_and_acc(logits)
+        metrics = {"nce_acc": acc}
+        if "feat_jig" in out_q:
+            # RGBMoCo jig logit vs the same key/queue (mem_moco.py:60-88),
+            # loss = (1-b)*l + b*l_jig (contrast_trainer.py:320-324)
+            lj, aj = nce_loss_and_acc(moco_logits(
+                out_q["feat_jig"], k_feat, moco.queues[0], cfg.nce_t))
+            loss = (1 - cfg.beta) * loss + cfg.beta * lj
+            metrics.update(nce_acc_jig=aj, loss_jig=lj)
         new_moco = moco_enqueue(moco, k_feat[None])
-        return loss, (new_bs, new_moco,
-                      {"loss": loss, "nce_acc": acc})
+        metrics["loss"] = loss
+        return loss, (new_bs, new_moco, metrics)
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def moco_train_step(state: TrainState, batch, rng):

@@ -1,9 +1,12 @@
-"""Metric averaging + stdout/TSV logging.
+"""Metric averaging + stdout/TSV/tensorboard logging.
 
 Reference: `pycontrast/learning/util.py:6-40` (AverageMeter, accuracy) and
-the rank-0 tensorboard_logger usage (base_trainer.py:75-78).  tensorboard is
-not in this image, so MetricLogger writes machine-readable TSV next to the
-checkpoints plus the familiar formatted stdout lines."""
+the rank-0 tensorboard_logger usage (base_trainer.py:75-78,
+HRNet-Semantic-Segmentation lib/utils/utils.py:83-115).  MetricLogger writes
+machine-readable TSV next to the checkpoints plus the familiar formatted
+stdout lines, and — when tensorboardX is importable — browsable tensorboard
+event files under <log_dir>/tb, matching the reference's per-epoch scalar
+logging."""
 
 from __future__ import annotations
 
@@ -33,17 +36,27 @@ class AverageMeter:
 
 
 class MetricLogger:
-    """Scalar logger: stdout every print_freq + append-only TSV file."""
+    """Scalar logger: stdout every print_freq + append-only TSV file +
+    tensorboard event file (same per-epoch averages the reference logs via
+    `self.logger.log_value(..., epoch)`, base_trainer.py:75-78)."""
 
     def __init__(self, log_dir: Optional[str] = None,
-                 print_freq: int = 10):
+                 print_freq: int = 10, tensorboard: bool = True):
         self.print_freq = print_freq
         self.meters: Dict[str, AverageMeter] = {}
         self._tsv = None
         self._tsv_keys = None
+        self._tb = None
         if log_dir:
             os.makedirs(log_dir, exist_ok=True)
             self._tsv_path = os.path.join(log_dir, "metrics.tsv")
+            if tensorboard:
+                try:
+                    from tensorboardX import SummaryWriter
+
+                    self._tb = SummaryWriter(os.path.join(log_dir, "tb"))
+                except Exception:  # pragma: no cover - optional dependency
+                    self._tb = None
 
     def update(self, metrics: Dict[str, float], n: int = 1):
         for k, v in metrics.items():
@@ -68,6 +81,15 @@ class MetricLogger:
                     f.write("epoch\t" + "\t".join(keys) + "\n")
                 f.write(f"{epoch}\t" + "\t".join(
                     f"{self.meters[k].avg:.6f}" for k in keys) + "\n")
+        if self._tb is not None:
+            for k in sorted(self.meters):
+                self._tb.add_scalar(k, self.meters[k].avg, epoch)
+            self._tb.flush()
+
+    def close(self):
+        if self._tb is not None:
+            self._tb.close()
+            self._tb = None
 
     def reset(self):
         for m in self.meters.values():

@@ -62,6 +62,77 @@ class TestCMCMoCo:
         assert new_state.moco.queues.shape[0] == 2
 
 
+class TestCMCJigsaw:
+    """CMCMultiHeads (build_backbone.py:148-184): per-modality jigsaw heads;
+    bank logits follow the trainer's swapped-jig-arg convention
+    (contrast_trainer.py:447-452)."""
+
+    def _batch(self):
+        rng = np.random.default_rng(0)
+        return {
+            "rgbd": rng.standard_normal((4, 32, 32, 3)).astype(np.float32),
+            "rgbd_jig": rng.standard_normal(
+                (4, 9, 16, 16, 3)).astype(np.float32),
+            "index": np.arange(4, dtype=np.int32),
+        }
+
+    def _state(self, cfg, model, batch, moco=False):
+        x = batch["rgbd"]
+        if moco:  # one 3ch crop for init (step input stacks two on channels)
+            x = x[..., :x.shape[-1] // 2]
+        state = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                                   {"rgbd": x}, n_data=N_DATA,
+                                   steps_per_epoch=2)
+        v = model.init(jax.random.PRNGKey(0), x[:1],
+                       train=False,
+                       x_jig=batch["rgbd_jig"][:1].reshape(-1, 16, 16, 3),
+                       shuffle_ids=jnp.arange(9))
+        from hcmoco_tpu.train.state import make_optimizer
+        tx, _ = make_optimizer(cfg, 2)
+        state = state.replace(params=v["params"],
+                              batch_stats=v.get("batch_stats", {}),
+                              opt_state=tx.init(v["params"]))
+        if moco:
+            state = state.replace(params_ema=v["params"])
+        return state
+
+    def test_cmc_jigsaw_bank_step(self):
+        cfg = TrainConfig(modal="CMC", arch="resnet18", mem="bank",
+                          jigsaw=True, beta=0.5, nce_k=7, batch_size=4,
+                          epochs=2, in_channel_list=(1, 2),
+                          compute_dtype="float32")
+        model = build_model(cfg)
+        batch = self._batch()
+        state = self._state(cfg, model, batch)
+        step = make_contrast_train_step(cfg, model, steps_per_epoch=2)
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        # 4 logit groups: 12, 21, jig2 (f2_jig vs bank2), jig1
+        for n in ("12", "21", "jig2", "jig1"):
+            assert f"nce_loss_{n}" in metrics
+        # loss = (1-b)(l12+l21) + b(lj2+lj1); metric entries are pre-weighted
+        total = sum(float(metrics[f"nce_loss_{n}"])
+                    for n in ("12", "21", "jig2", "jig1"))
+        assert abs(total - float(metrics["loss"])) < 1e-4
+
+    def test_cmc_jigsaw_moco_step(self):
+        cfg = TrainConfig(modal="CMC", arch="resnet18", mem="moco",
+                          jigsaw=True, beta=0.5, nce_k=16, batch_size=4,
+                          epochs=2, in_channel_list=(1, 2),
+                          compute_dtype="float32")
+        model = build_model(cfg)
+        rng = np.random.default_rng(0)
+        batch = self._batch()
+        batch["rgbd"] = rng.standard_normal(
+            (4, 32, 32, 6)).astype(np.float32)  # two crops on channels
+        state = self._state(cfg, model, batch, moco=True)
+        step = make_contrast_train_step(cfg, model, steps_per_epoch=2)
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        assert "nce_acc_jig2" in metrics and "nce_acc_jig1" in metrics
+        assert int(new_state.moco.ptr) == 4
+
+
 class TestPIRL:
     def test_jigsaw_bank_step(self):
         cfg = resolve_config(TrainConfig(

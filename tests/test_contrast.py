@@ -80,6 +80,45 @@ class TestMemoryBank:
             rtol=1e-5)
 
 
+class TestCMC3LogitModes:
+    """hybrid / dense / gather are the same math: identical logits AND
+    identical feature gradients (the hybrid path has a custom VJP)."""
+
+    def _run(self, mode, kp1_big):
+        rng = jax.random.PRNGKey(0)
+        n_data, dim, bsz = 96, 16, 5
+        k = kp1_big  # parametrized: covers all three backward branches
+        state = init_memory(rng, 3, n_data, dim)
+        feats = jax.random.normal(jax.random.PRNGKey(1), (3, bsz, dim))
+        y = jnp.arange(bsz)
+        idx = sample_negative_indices(jax.random.PRNGKey(3), y, n_data, k)
+
+        def loss(f):
+            logits, _ = cmc3_forward(
+                state, f, y, f, y, jax.random.PRNGKey(2),
+                k=k, temperature=0.07, neg_idx=idx, mode=mode)
+            return sum(jnp.sum(jnp.tanh(l)) for l in logits), logits
+
+        (val, logits), grad = jax.value_and_grad(loss, has_aux=True)(feats)
+        return np.asarray(val), [np.asarray(l) for l in logits], \
+            np.asarray(grad)
+
+    # 12: single-gather; 2048: even-chunk dynamic-slice (nce_k=16384 shape);
+    # 1500: ragged pad+transpose fallback
+    @pytest.mark.parametrize("kp1_big", [12, 1500, 2048])
+    def test_modes_agree(self, kp1_big):
+        v_h, l_h, g_h = self._run("hybrid", kp1_big)
+        v_d, l_d, g_d = self._run("dense", kp1_big)
+        v_g, l_g, g_g = self._run("gather", kp1_big)
+        for a, b in zip(l_h, l_d):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+        for a, b in zip(l_h, l_g):
+            np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+        # chunked-scan vs one-shot summation order: f32 accumulation noise
+        np.testing.assert_allclose(g_h, g_d, rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(g_h, g_g, rtol=1e-3, atol=1e-3)
+
+
 class TestMoCoQueue:
     def test_logits_layout(self):
         q = jnp.ones((2, 4))

@@ -47,6 +47,12 @@ def _make_cfg(stage2=False):
         momentum=pc.MOMENTUM, weight_decay=pc.WEIGHT_DECAY,
         cosine=False, warm=False, modality_missing=True,
         compute_dtype="float32", crop_size=pc.CROP,
+        # pin the one-shot dense formulation: the default hybrid backward
+        # accumulates grads in K-chunks, whose fp32 summation-order noise
+        # compounds through 12 chaotic SGD steps and can exceed the 2x
+        # perturbation envelope.  Formulation equivalence (logits + grads)
+        # is tested directly in test_contrast.py::TestCMC3LogitModes.
+        bank_logits="dense",
     )
 
 

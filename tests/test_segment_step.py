@@ -95,6 +95,28 @@ class TestUtils:
         content = open(tmp_path / "metrics.tsv").read()
         assert "loss" in content and "2.0" in content
 
+    def test_metric_logger_tensorboard_events(self, tmp_path):
+        """write_epoch emits browsable TB scalars (base_trainer.py:75-78
+        logger.log_value analog); readable back via tensorboard's reader."""
+        lg = MetricLogger(str(tmp_path), print_freq=100)
+        if lg._tb is None:
+            pytest.skip("tensorboardX not available")
+        lg.update({"loss": 1.0})
+        lg.update({"loss": 3.0})
+        lg.write_epoch(1)
+        lg.close()
+        files = [f for f in (tmp_path / "tb").iterdir()
+                 if "tfevents" in f.name]
+        assert files
+        from tensorboard.backend.event_processing.event_accumulator import (
+            EventAccumulator,
+        )
+        acc = EventAccumulator(str(tmp_path / "tb"))
+        acc.Reload()
+        assert "loss" in acc.Tags()["scalars"]
+        ev = acc.Scalars("loss")[0]
+        assert ev.step == 1 and ev.value == pytest.approx(2.0)
+
     def test_param_table_and_count(self):
         params = {"enc": {"w": np.zeros((3, 4)), "b": np.zeros(4)},
                   "head": {"w": np.zeros((4, 2))}}
