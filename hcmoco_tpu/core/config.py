@@ -154,14 +154,21 @@ class TrainConfig:
     alpha: float = 0.999  # moco EMA
     pri3d_num_samples_per_image: int = 400
     modality_missing: bool = False
-    # bank logits formulation (same math, different TPU cost):
-    #   'hybrid' (default): dense score matmul forward + custom-VJP chunked
-    #     row-gather backward — no scatter, one gather pass (round-2 profile)
+    # bank logits formulation (same estimator, different TPU cost):
+    #   'counts' (default): gather-free — negatives drawn as Multinomial
+    #     counts, loss = count-weighted logsumexp over the dense score
+    #     matrix (memory.py::cmc3_losses_counts).  Identical distribution
+    #     and, given the same draw multiset, identical loss/grads.
+    #   'hybrid': dense score matmul forward + custom-VJP chunked
+    #     row-gather backward (no scatter; scalar-gather fwd ~22% of step)
     #   'gather': row-gather + einsum fwd/bwd (round-1 formulation)
-    #   'dense': dense matmul + take_along_axis both ways (backward scatters,
-    #     ~37% of the round-1 step — kept for comparison)
-    bank_logits: str = "hybrid"
+    #   'dense': dense matmul + take_along_axis both ways (backward
+    #     scatters, ~37% of the round-1 step — parity-harness choice)
+    bank_logits: str = "counts"
     dense_scores: bool = False  # back-compat alias for bank_logits='dense'
+    # run the RGB+depth encoders as one vmapped program (grouped convs,
+    # halved op count — TPU perf flag; params gain a leading [2] axis)
+    pair_encoders: bool = False
     beta: float = 0.5  # PIRL jigsaw-vs-instance weight (train_options.py)
 
     # optimization
@@ -212,6 +219,10 @@ class TrainConfig:
 
     # precision / parallelism
     remat: bool = False  # rematerialize the encoder forward (bigger batch)
+    # remat policy: 'conv_out' saves only pre-BN conv outputs (backward
+    # recomputes cheap elementwise BN/ReLU, never a conv); 'dots' is the
+    # round-1 dots_with_no_batch_dims policy (full conv recompute)
+    remat_policy: str = "conv_out"
     compute_dtype: str = "bfloat16"
     param_dtype: str = "float32"
     mesh_shape: Tuple[int, ...] = (-1,)  # -1 = all devices on the data axis

@@ -63,6 +63,7 @@ class HCMoCoModel(nn.Module):
     pool_method: str = "mean"
     skeleton_meta: str = "mpii"
     sgcn_dim: int = 128
+    pair_encoders: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -74,8 +75,24 @@ class HCMoCoModel(nn.Module):
         x1 = rgbd[..., :c1]
         x2 = rgbd[..., c1:c1 + self.in_channel_list[1]]
 
-        fm1 = HRNet(hr_cfg, dtype=self.dtype, name="encoder1")(x1, train)
-        fm2 = HRNet(hr_cfg, dtype=self.dtype, name="encoder2")(x2, train)
+        if self.pair_encoders:
+            # TPU fusion: run both identically-shaped encoders as ONE
+            # vmapped program — every conv lowers to a feature_group_count=2
+            # grouped conv and every BN/elementwise op covers both
+            # encoders, halving the XLA op count (same math; params carry a
+            # leading [2] axis — see export/transfer pairing helpers)
+            assert self.in_channel_list[0] == self.in_channel_list[1]
+            PairHR = nn.vmap(
+                HRNet, in_axes=(0, None), out_axes=0,
+                variable_axes={"params": 0, "batch_stats": 0},
+                split_rngs={"params": True})
+            fm12 = PairHR(hr_cfg, dtype=self.dtype, name="encoder_pair")(
+                jnp.stack([x1, x2]), train)
+            fm1 = [m[0] for m in fm12]
+            fm2 = [m[1] for m in fm12]
+        else:
+            fm1 = HRNet(hr_cfg, dtype=self.dtype, name="encoder1")(x1, train)
+            fm2 = HRNet(hr_cfg, dtype=self.dtype, name="encoder2")(x2, train)
         fj = SemGCN(self.sgcn_dim, 4, self.skeleton_meta,
                     name="encoder3")(skeleton, train)
 
@@ -186,6 +203,24 @@ class CMCDualModel(nn.Module):
         return out
 
 
+def pair_encoder_params(tree1, tree2):
+    """Stack two identically-structured encoder param/stat trees into the
+    leading-[2] layout `pair_encoders=True` uses (encoder1 at index 0)."""
+    import jax
+
+    return jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]),
+                                  tree1, tree2)
+
+
+def unpair_encoder_params(paired):
+    """Inverse of pair_encoder_params: (encoder1_tree, encoder2_tree)."""
+    import jax
+
+    t1 = jax.tree_util.tree_map(lambda x: x[0], paired)
+    t2 = jax.tree_util.tree_map(lambda x: x[1], paired)
+    return t1, t2
+
+
 def build_model(cfg: TrainConfig) -> nn.Module:
     """Registry dispatch; key = modal + arch (build_backbone.py:516-546)."""
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -199,6 +234,7 @@ def build_model(cfg: TrainConfig) -> nn.Module:
                 linear_feat_map=cfg.linear_feat_map,
                 pool_method=cfg.pool_method,
                 skeleton_meta=cfg.skeleton_meta_name,
+                pair_encoders=cfg.pair_encoders,
                 dtype=dtype,
             )
         if cfg.arch == "HRNetPN":

@@ -55,6 +55,13 @@ class ConvBN(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
+        # remat anchor: with remat='conv_out' the train step saves ONLY
+        # these pre-BN conv outputs for the backward pass and recomputes the
+        # cheap BN/ReLU elementwise ops — larger batches without re-running
+        # any convolution (cf. CLAUDE.md round-1: full remat recompute lost)
+        from jax.ad_checkpoint import checkpoint_name
+
+        x = checkpoint_name(x, "conv_out")
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=self.bn_momentum,

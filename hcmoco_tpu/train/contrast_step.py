@@ -39,12 +39,12 @@ import optax
 
 from ..core.config import TrainConfig
 from ..contrast.memory import (
-    MemoryState, cmc3_forward, memory_logits, sample_negative_indices,
-    update_memory, moco_logits, moco_enqueue,
+    MemoryState, cmc3_forward, cmc3_losses_counts, memory_logits,
+    sample_negative_indices, update_memory, moco_logits, moco_enqueue,
 )
 from ..contrast.losses import (
-    compute_loss_accuracy, soft_pri3d_loss, joints_pri3d_loss,
-    cross_subject_scl_loss, nce_loss_and_acc,
+    compute_loss_accuracy, masked_six_way, soft_pri3d_loss,
+    joints_pri3d_loss, cross_subject_scl_loss, nce_loss_and_acc,
 )
 from .state import TrainState, make_optimizer
 
@@ -110,14 +110,28 @@ def _scl_grouped(lm1, lm2, joints2d, use_depth, use_rgb, temperature,
 def make_contrast_train_step(cfg: TrainConfig, model,
                              steps_per_epoch: int,
                              scl_groups: int = 1,
-                             donate: bool = False):
+                             donate: bool = False,
+                             mesh=None):
     """Build the jittable train step for cfg.mem in
     {'bank', 'bank+jointspri3d', 'moco'}.
 
     donate=True donates the TrainState buffers to the step (in-place
     update on device — saves one params+opt+bank copy per step); callers
-    must not reuse the input state afterwards."""
+    must not reuse the input state afterwards.
+
+    mesh: pass the execution Mesh when running multi-device — it pins the
+    counts-mode negative sampler to replicated compute (see
+    memory.sample_negative_counts: without it GSPMD puts an all-reduce in
+    every binomial rejection-loop condition)."""
     tx, lr_fn = make_optimizer(cfg, steps_per_epoch)
+    replicated = None
+    if mesh is not None and mesh.size > 1:
+        # single-device meshes skip the constraint: the sharding
+        # custom-calls inhibit fusion in the sampler (~15% step cost on the
+        # 1-chip bench) and there is nothing to replicate
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        replicated = NamedSharding(mesh, PartitionSpec())
     stage2 = cfg.mem == "bank+jointspri3d"
     is_moco = cfg.mem == "moco"
     tri_modal = cfg.modal == "RGBD2S"
@@ -147,24 +161,44 @@ def make_contrast_train_step(cfg: TrainConfig, model,
                                   return_fm=stage2 and cfg.linear_feat_map)
 
                 if cfg.remat:
-                    # trade FLOPs for HBM: recompute the encoder forward
-                    # in the backward pass, unlocking larger batches
-                    fwd = jax.checkpoint(
-                        fwd,
-                        policy=jax.checkpoint_policies
-                        .dots_with_no_batch_dims_saveable)
+                    # trade FLOPs for HBM: drop activations in the forward
+                    # and recompute them in the backward, unlocking larger
+                    # batches.  'conv_out' keeps every pre-BN conv output
+                    # (ConvBN names them) so only elementwise BN/ReLU/resize
+                    # ops re-run — convs are never recomputed.
+                    if cfg.remat_policy == "conv_out":
+                        policy = (jax.checkpoint_policies
+                                  .save_only_these_names("conv_out"))
+                    else:
+                        policy = (jax.checkpoint_policies
+                                  .dots_with_no_batch_dims_saveable)
+                    fwd = jax.checkpoint(fwd, policy=policy)
                 out, new_bs = fwd(params, batch_stats, batch["rgbd"],
                                   batch["skeleton"])
             feats = jnp.stack([out["feat1"], out["feat2"], out["feat3"]])
-            # global view: f == all_f (GSPMD gathers where needed)
-            logits, new_memory = cmc3_forward(
-                memory, feats, y, feats, y, rngs[0],
-                k=cfg.nce_k, temperature=cfg.nce_t, m=cfg.nce_m,
-                neg_idx=batch.get("neg_idx"),
-                mode="dense" if cfg.dense_scores else cfg.bank_logits)
-            losses, accs = compute_loss_accuracy(
-                logits, use_depth=use_depth,
-                use_rgb=use_rgb if stage2 is False else None)
+            mode = "dense" if cfg.dense_scores else cfg.bank_logits
+            mask_kw = dict(use_depth=use_depth,
+                           use_rgb=use_rgb if stage2 is False else None)
+            if mode == "counts" and batch.get("neg_idx") is None:
+                # gather-free count-weighted NCE (same estimator; see
+                # contrast/memory.py::cmc3_losses_counts) + the usual
+                # replicated bank EMA update
+                per_sample = cmc3_losses_counts(
+                    feats, memory.banks, y, rngs[0], k=cfg.nce_k,
+                    temperature=cfg.nce_t, replicated=replicated)
+                losses, accs = masked_six_way(per_sample, **mask_kw)
+                new_memory = MemoryState(banks=jnp.stack([
+                    update_memory(memory.banks[i], feats[i], y, cfg.nce_m)
+                    for i in range(3)]))
+            else:
+                if mode == "counts":
+                    mode = "dense"  # pinned neg_idx (parity harness)
+                # global view: f == all_f (GSPMD gathers where needed)
+                logits, new_memory = cmc3_forward(
+                    memory, feats, y, feats, y, rngs[0],
+                    k=cfg.nce_k, temperature=cfg.nce_t, m=cfg.nce_m,
+                    neg_idx=batch.get("neg_idx"), mode=mode)
+                losses, accs = compute_loss_accuracy(logits, **mask_kw)
             names = ["12", "21", "23", "32", "13", "31"]
         elif cfg.modal == "CMC":
             apply_kw = {}

@@ -63,7 +63,8 @@ def main():
             {k: v[:1] for k, v in global_batch.items()},
             n_data=n_data, steps_per_epoch=2),
         out_shardings=rep)()
-    step = make_contrast_train_step(cfg, model, steps_per_epoch=2)
+    step = make_contrast_train_step(cfg, model, steps_per_epoch=2,
+                                    mesh=mesh)
 
     sharded = shard_batch(local, mesh)
     new_state, metrics = step(state, sharded, jax.random.PRNGKey(1))

@@ -119,6 +119,68 @@ class TestCMC3LogitModes:
         np.testing.assert_allclose(g_h, g_g, rtol=1e-3, atol=1e-3)
 
 
+class TestCountsFormulation:
+    """Gather-free count-weighted NCE (bank_logits='counts'): given the SAME
+    draw multiset, per-sample loss, top-1 correctness, AND feature gradients
+    must exactly match the indexed dense formulation."""
+
+    def test_counts_match_indexed_losses_and_grads(self):
+        from hcmoco_tpu.contrast.memory import cmc3_losses_counts
+        from hcmoco_tpu.contrast.losses import per_sample_nce
+
+        rng = jax.random.PRNGKey(0)
+        n_data, dim, bsz, k = 64, 16, 6, 200
+        state = init_memory(rng, 3, n_data, dim)
+        feats = jax.random.normal(jax.random.PRNGKey(1), (3, bsz, dim))
+        y = jnp.arange(bsz)
+        idx = sample_negative_indices(jax.random.PRNGKey(3), y, n_data, k)
+        # multiset counts of the SAME negative draw (cols 1..K)
+        counts = np.zeros((bsz, n_data), np.float32)
+        for b in range(bsz):
+            np.add.at(counts[b], np.asarray(idx[b, 1:]), 1.0)
+        counts = jnp.asarray(counts)
+
+        def counts_loss(f):
+            per = cmc3_losses_counts(f, state.banks, y,
+                                     jax.random.PRNGKey(9), k, 0.07,
+                                     counts=counts)
+            return sum(ce.sum() for ce, _ in per), per
+
+        def indexed_loss(f):
+            logits, _ = cmc3_forward(state, f, y, f, y,
+                                     jax.random.PRNGKey(9), k=k,
+                                     temperature=0.07, neg_idx=idx,
+                                     mode="dense")
+            per = [per_sample_nce(lg) for lg in logits]
+            return sum(ce.sum() for ce, _ in per), per
+
+        (lc, pc), gc = jax.value_and_grad(counts_loss, has_aux=True)(feats)
+        (li, pi), gi = jax.value_and_grad(indexed_loss, has_aux=True)(feats)
+        np.testing.assert_allclose(float(lc), float(li), rtol=1e-5)
+        for (ce_c, cor_c), (ce_i, cor_i) in zip(pc, pi):
+            np.testing.assert_allclose(np.asarray(ce_c), np.asarray(ce_i),
+                                       rtol=1e-5, atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(cor_c),
+                                          np.asarray(cor_i))
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gi),
+                                   rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("n_data,k", [(64, 500), (48, 333), (6, 17)])
+    def test_multinomial_counts_sampler(self, n_data, k):
+        from hcmoco_tpu.contrast.memory import sample_negative_counts
+
+        c = np.asarray(sample_negative_counts(jax.random.PRNGKey(0),
+                                              128, n_data, k))
+        assert c.shape == (128, n_data)
+        assert (c >= 0).all()
+        np.testing.assert_array_equal(c.sum(axis=1), float(k))
+        # uniform marginals: per-bin mean is k/n_data; loose 5-sigma bound
+        mean = c.mean(axis=0)
+        exp = k / n_data
+        sigma = np.sqrt(k * (1 / n_data) * (1 - 1 / n_data) / 128)
+        assert np.abs(mean - exp).max() < 5 * sigma + 1e-6
+
+
 class TestMoCoQueue:
     def test_logits_layout(self):
         q = jnp.ones((2, 4))

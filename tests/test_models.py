@@ -100,6 +100,45 @@ class TestHCMoCoModel:
         model = build_model(cfg)
         assert isinstance(model, HCMoCoModel)
 
+    def test_paired_encoders_match_unpaired(self):
+        """pair_encoders=True (vmapped grouped-conv encoders, the TPU perf
+        layout) is the same math: transplanting encoder1/encoder2 params
+        into the stacked [2] layout reproduces the unpaired outputs."""
+        from hcmoco_tpu.models.build import (pair_encoder_params,
+                                             unpair_encoder_params)
+
+        rgbd = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 64, 6))
+        skel = jax.random.normal(jax.random.PRNGKey(4), (2, 16, 2))
+        base = HCMoCoModel(width=18, linear_feat_map=True,
+                           dtype=jnp.float32)
+        v = base.init(jax.random.PRNGKey(0), rgbd, skel, train=False,
+                      return_fm=True)
+        paired_model = HCMoCoModel(width=18, linear_feat_map=True,
+                                   pair_encoders=True, dtype=jnp.float32)
+        pv = {
+            "params": dict(v["params"]),
+            "batch_stats": dict(v["batch_stats"]),
+        }
+        for col in ("params", "batch_stats"):
+            e1 = pv[col].pop("encoder1")
+            e2 = pv[col].pop("encoder2")
+            pv[col]["encoder_pair"] = pair_encoder_params(e1, e2)
+        out = base.apply(v, rgbd, skel, train=False, return_fm=True)
+        pout = paired_model.apply(pv, rgbd, skel, train=False,
+                                  return_fm=True)
+        for k in ("feat1", "feat2", "pooled1", "pooled2",
+                  "linear_merge1", "linear_merge2"):
+            # grouped-vs-separate conv accumulation order drifts over ~30
+            # layers; 5e-4 relative is far below any training-relevant scale
+            np.testing.assert_allclose(np.asarray(pout[k]),
+                                       np.asarray(out[k]),
+                                       rtol=5e-4, atol=1e-3, err_msg=k)
+        # round-trip of the pairing utilities
+        b1, b2 = unpair_encoder_params(pv["params"]["encoder_pair"])
+        for a, b in zip(jax.tree_util.tree_leaves(b1),
+                        jax.tree_util.tree_leaves(v["params"]["encoder1"])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
     def test_bn_stats_update_in_train_mode(self):
         model = HCMoCoModel(width=18, dtype=jnp.float32)
         rgbd = jax.random.normal(jax.random.PRNGKey(1), (2, 64, 64, 6))

@@ -20,7 +20,7 @@ import numpy as np
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/hcmoco_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hcmoco_jax_cache_tpu")
     import jax.numpy as jnp
 
     B = 128

@@ -27,7 +27,7 @@ def main():
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/hcmoco_jax_cache")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hcmoco_jax_cache_tpu")
     import functools
     import jax.numpy as jnp
 
@@ -58,7 +58,8 @@ def main():
     state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch,
                                n_data=n_data, steps_per_epoch=100)
     state = jax.device_put(state, replicated_sharding(mesh))
-    step = make_contrast_train_step(cfg, model, steps_per_epoch=100)
+    step = make_contrast_train_step(cfg, model, steps_per_epoch=100,
+                                    mesh=mesh)
     sharded = shard_batch(batch, mesh)
 
     n_iters = args.iters
