@@ -181,32 +181,45 @@ class NTUSkeleton3D(NTURGBDPairs):
                 rng, original_h, original_w, (0.08, 1.2), (1.0, 1.0))
             i = int(rand_x - h / 2.0)
             j = int(rand_y - w / 2.0)
-            rgb_crop, depth_crop = self._load_region(index, i, j, h, w)
-            img = Image.fromarray(rgb_crop).resize(self.size, Image.BILINEAR)
-            depth = Image.fromarray(depth_crop).resize(self.size,
-                                                       Image.NEAREST)
+            # flip is drawn here (same RNG order as the crop->resize->flip
+            # sequence: the load/resize consumes no randomness)
+            need_flip = bool(rng.random() >= 0.5)
+            rgb_arr, depth_arr = self._crop_resize_pair(
+                index, i, j, h, w, self.random_flip and need_flip)
         else:
             i, j, h, w = 0, 0, original_w, original_h
             rgb_full, depth_full = self._load_region(
                 index, 0, 0, original_h, original_w)
-            img = Image.fromarray(rgb_full)
-            depth = Image.fromarray(depth_full)
-
-        need_flip = bool(rng.random() >= 0.5)
-        if self.random_flip and need_flip:
-            img = img.transpose(Image.FLIP_LEFT_RIGHT)
-            depth = depth.transpose(Image.FLIP_LEFT_RIGHT)
+            need_flip = bool(rng.random() >= 0.5)
+            if self.random_flip and need_flip:
+                rgb_full = rgb_full[:, ::-1]
+                depth_full = depth_full[:, ::-1]
+            rgb_arr = np.ascontiguousarray(rgb_full)
+            depth_arr = np.ascontiguousarray(depth_full)
 
         params = (i, j, h, w, need_flip, original_h, original_w)
         if raw_output:
-            rgbd = {"rgb_u8": np.asarray(img, np.uint8),
-                    "depth_mm": np.asarray(depth, np.uint16)}
+            rgbd = {"rgb_u8": rgb_arr,
+                    "depth_mm": depth_arr.astype(np.uint16, copy=False)}
             return rgbd, joints3d, sk, params
 
-        rgb = normalize_rgb(np.array(img))
-        d = np.array(depth).astype(np.float32) / 1000.0
+        rgb = normalize_rgb(rgb_arr)
+        d = depth_arr.astype(np.float32) / 1000.0
         rgbd = np.concatenate([rgb, np.repeat(d[..., None], 3, -1)], -1)
         return rgbd, joints3d, sk, params
+
+    def _crop_resize_pair(self, index, i, j, h, w, flip):
+        """(rgb u8 (size,size,3), depth u16 (size,size)): crop window ->
+        BILINEAR/NEAREST resize -> optional horizontal flip.  Default: PIL
+        (the reference's torchvision path); PackedNTUSkeleton swaps in the
+        bit-exact native core (native/resample.cpp)."""
+        rgb_crop, depth_crop = self._load_region(index, i, j, h, w)
+        img = Image.fromarray(rgb_crop).resize(self.size, Image.BILINEAR)
+        depth = Image.fromarray(depth_crop).resize(self.size, Image.NEAREST)
+        if flip:
+            img = img.transpose(Image.FLIP_LEFT_RIGHT)
+            depth = depth.transpose(Image.FLIP_LEFT_RIGHT)
+        return np.asarray(img, np.uint8), np.asarray(depth, np.uint16)
 
     def __getitem__(self, index):
         if getattr(self, "raw_output", False):

@@ -113,6 +113,25 @@ class PackedNTUSkeleton(NTUSkeleton3D):
         return (crop_pad(self._rgb[index], i, j, h, w),
                 crop_pad(self._depth[index], i, j, h, w))
 
+    def _crop_resize_pair(self, index, i, j, h, w, flip):
+        """Native fast path: one C call does crop-window read (straight off
+        the mmap frame) + Pillow-bit-exact BILINEAR/NEAREST resample + flip
+        (native/resample.cpp; parity: tests/test_native_resample.py).
+        Falls back to the PIL path when the library is unavailable."""
+        from ..native import resample_lib
+
+        lib = resample_lib()
+        if lib is None:
+            return super()._crop_resize_pair(index, i, j, h, w, flip)
+        out_hw = (self.size[1], self.size[0])
+        rgb = lib.resized_crop_u8(self._rgb[index], i, j, h, w, out_hw,
+                                  flip)
+        depth = lib.resized_crop_nearest_u16(self._depth[index], i, j, h,
+                                             w, out_hw, flip)
+        if rgb is None or depth is None:
+            return super()._crop_resize_pair(index, i, j, h, w, flip)
+        return rgb, depth
+
     def _skeleton_dict(self, index):
         return {"joints": [{
             "3d_loc": list(self._joints3d[index]),

@@ -80,6 +80,63 @@ class NativeLib:
         return out if rc == 0 else None
 
 
+class ResampleLib:
+    """Pixel-exact PIL resize replacement (resample.cpp): crop window read
+    straight from the (mmap) frame + BILINEAR u8 / NEAREST u16 resample +
+    flip, in one native call."""
+
+    def __init__(self, cdll):
+        self._c = cdll
+        c = cdll
+        c.resized_crop_u8.restype = ctypes.c_int
+        c.resized_crop_u8.argtypes = [
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS"),
+            ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")]
+        c.resized_crop_nearest_u16.restype = ctypes.c_int
+        c.resized_crop_nearest_u16.argtypes = [
+            np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS"),
+            ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, ctypes.c_long, ctypes.c_long,
+            ctypes.c_long, ctypes.c_long, ctypes.c_int,
+            np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")]
+
+    def resized_crop_u8(self, frame: np.ndarray, i: int, j: int, h: int,
+                        w: int, out_hw: Tuple[int, int],
+                        flip: bool = False) -> Optional[np.ndarray]:
+        """frame: (H, W, C) uint8 (C-contiguous; mmap slices fine).
+        Returns (out_h, out_w, C) uint8, PIL-crop+BILINEAR-resize exact."""
+        if frame.ndim == 2:
+            frame = frame[:, :, None]
+        if not frame.flags["C_CONTIGUOUS"]:
+            frame = np.ascontiguousarray(frame)
+        oh, ow = out_hw
+        out = np.empty((oh, ow, frame.shape[2]), np.uint8)
+        rc = self._c.resized_crop_u8(
+            frame, frame.shape[0], frame.shape[1], frame.shape[2],
+            i, j, h, w, oh, ow, int(flip), out)
+        return out if rc == 0 else None
+
+    def resized_crop_nearest_u16(self, frame: np.ndarray, i: int, j: int,
+                                 h: int, w: int, out_hw: Tuple[int, int],
+                                 flip: bool = False) -> Optional[np.ndarray]:
+        if not frame.flags["C_CONTIGUOUS"]:
+            frame = np.ascontiguousarray(frame)
+        oh, ow = out_hw
+        out = np.empty((oh, ow), np.uint16)
+        rc = self._c.resized_crop_nearest_u16(
+            frame, frame.shape[0], frame.shape[1],
+            i, j, h, w, oh, ow, int(flip), out)
+        return out if rc == 0 else None
+
+
+_RESAMPLE_SO = os.path.join(_HERE, "libhcmoco_resample.so")
+_resample_cache: Optional["ResampleLib"] = None
+_resample_tried = False
+
+
 def build_native(verbose: bool = False) -> bool:
     try:
         r = subprocess.run(["make", "-C", _HERE], capture_output=True,
@@ -108,3 +165,25 @@ def native_lib() -> Optional[NativeLib]:
         except OSError:
             _lib_cache = None
         return _lib_cache
+
+
+def resample_lib() -> Optional[ResampleLib]:
+    """Load (building if needed) the native resample core; None if
+    unavailable (callers fall back to PIL — identical pixels either way)."""
+    global _resample_cache, _resample_tried
+    with _lock:
+        if _resample_cache is not None or _resample_tried:
+            return _resample_cache
+        _resample_tried = True
+        if not os.path.exists(_RESAMPLE_SO):
+            if os.environ.get("HCMOCO_NO_NATIVE"):
+                return None
+            if not build_native():
+                return None
+        if not os.path.exists(_RESAMPLE_SO):
+            return None
+        try:
+            _resample_cache = ResampleLib(ctypes.CDLL(_RESAMPLE_SO))
+        except OSError:
+            _resample_cache = None
+        return _resample_cache
