@@ -165,6 +165,10 @@ class TrainConfig:
     #   'dense': dense matmul + take_along_axis both ways (backward
     #     scatters, ~37% of the round-1 step — parity-harness choice)
     bank_logits: str = "counts"
+    # counts/dense/hybrid build (global_bsz, n_data)-shaped intermediates;
+    # above this dataset size the step falls back to 'gather' (the only
+    # formulation whose footprint is independent of n_data)
+    counts_max_n_data: int = 131072
     dense_scores: bool = False  # back-compat alias for bank_logits='dense'
     # run the RGB+depth encoders as one vmapped program (grouped convs,
     # halved op count — TPU perf flag; params gain a leading [2] axis)

@@ -49,8 +49,10 @@ from ..contrast.losses import (
 from .state import TrainState, make_optimizer
 
 
-IMAGENET_MEAN = jnp.asarray([0.485, 0.456, 0.406], jnp.float32)
-IMAGENET_STD = jnp.asarray([0.229, 0.224, 0.225], jnp.float32)
+# numpy (NOT jnp) constants: a module-scope jnp.asarray would initialize
+# the JAX backend at import time, defeating the post-import
+# jax.config.update('jax_platforms', 'cpu') switch this image relies on
+from ..data.transforms import IMAGENET_MEAN, IMAGENET_STD  # noqa: E402
 
 
 def device_normalize(batch):
@@ -141,6 +143,12 @@ def make_contrast_train_step(cfg: TrainConfig, model,
         rngs = jax.random.split(rng, 3)
         metrics: Dict[str, jnp.ndarray] = {}
         y = batch["index"]
+        # CMC/RGB baseline memory_logits formulation: dense score matrix
+        # (round-1 default, no (bsz, K+1, dim) row materialization) unless
+        # the user pinned 'gather' or the dataset is too large for dense
+        baseline_dense = ((cfg.dense_scores or cfg.bank_logits != "gather")
+                          and memory.n_data <= cfg.counts_max_n_data)
+        loss_weights = None
         use_depth = batch.get("use_depth") if cfg.modality_missing else None
         use_rgb = batch.get("use_rgb")
 
@@ -177,6 +185,12 @@ def make_contrast_train_step(cfg: TrainConfig, model,
                                   batch["skeleton"])
             feats = jnp.stack([out["feat1"], out["feat2"], out["feat3"]])
             mode = "dense" if cfg.dense_scores else cfg.bank_logits
+            if (mode in ("counts", "dense", "hybrid")
+                    and memory.n_data > cfg.counts_max_n_data):
+                # these modes build (bsz, n_data) intermediates (score
+                # matrices / counts); for very large datasets only the
+                # row-gather formulation stays O(bsz * K * dim)
+                mode = "gather"
             mask_kw = dict(use_depth=use_depth,
                            use_rgb=use_rgb if stage2 is False else None)
             if mode == "counts" and batch.get("neg_idx") is None:
@@ -221,9 +235,9 @@ def make_contrast_train_step(cfg: TrainConfig, model,
             # CMCMem.forward (mem_bank.py:109-154): cross-modal logits
             logits = [
                 memory_logits(out["feat1"], memory.banks[1], idx, cfg.nce_t,
-                              cfg.dense_scores),
+                              baseline_dense),
                 memory_logits(out["feat2"], memory.banks[0], idx, cfg.nce_t,
-                              cfg.dense_scores),
+                              baseline_dense),
             ]
             names = ["12", "21"]
             if "feat1_jig" in out:
@@ -233,10 +247,10 @@ def make_contrast_train_step(cfg: TrainConfig, model,
                 # logits2_jig = f1_jig . w1 — same-modality jig NCE
                 logits.append(memory_logits(out["feat2_jig"],
                                             memory.banks[1], idx,
-                                            cfg.nce_t, cfg.dense_scores))
+                                            cfg.nce_t, baseline_dense))
                 logits.append(memory_logits(out["feat1_jig"],
                                             memory.banks[0], idx,
-                                            cfg.nce_t, cfg.dense_scores))
+                                            cfg.nce_t, baseline_dense))
                 names += ["jig2", "jig1"]
             banks = jnp.stack([
                 update_memory(memory.banks[0], out["feat1"], y, cfg.nce_m),
@@ -245,10 +259,11 @@ def make_contrast_train_step(cfg: TrainConfig, model,
             new_memory = MemoryState(banks=banks)
             losses, accs = compute_loss_accuracy(tuple(logits))
             if "feat1_jig" in out:
-                # (1-beta)*(l12+l21) + beta*(l_jig) (contrast_trainer.py:452)
-                losses = [(1 - cfg.beta) * losses[0],
-                          (1 - cfg.beta) * losses[1],
-                          cfg.beta * losses[2], cfg.beta * losses[3]]
+                # total = (1-b)*(l12+l21) + b*(ljig2+ljig1)
+                # (contrast_trainer.py:452); metrics log the RAW losses
+                # like the reference meters do
+                loss_weights = [1 - cfg.beta, 1 - cfg.beta,
+                                cfg.beta, cfg.beta]
         else:  # RGB (InsDis/PIRL): single bank, RGBMem (mem_bank.py:55-90)
             apply_kw = {}
             if cfg.jigsaw and "rgbd_jig" in batch:
@@ -269,24 +284,25 @@ def make_contrast_train_step(cfg: TrainConfig, model,
                                           cfg.nce_k)
             logits = [
                 memory_logits(out["feat"], memory.banks[0], idx, cfg.nce_t,
-                              cfg.dense_scores),
+                              baseline_dense),
             ]
             names = ["ins"]
             if "feat_jig" in out:
                 logits.append(memory_logits(out["feat_jig"],
                                             memory.banks[0], idx,
-                                            cfg.nce_t, cfg.dense_scores))
+                                            cfg.nce_t, baseline_dense))
                 names.append("jig")
             new_memory = MemoryState(banks=jnp.stack([
                 update_memory(memory.banks[0], out["feat"], y, cfg.nce_m)
             ]))
             losses, accs = compute_loss_accuracy(tuple(logits))
             if "feat_jig" in out:
-                # PIRL weighting (contrast_trainer.py:465-467)
-                losses = [(1 - cfg.beta) * losses[0],
-                          cfg.beta * losses[1]]
+                # PIRL total = (1-b)*l_ins + b*l_jig
+                # (contrast_trainer.py:465-467); metrics log raw losses
+                loss_weights = [1 - cfg.beta, cfg.beta]
 
-        loss = sum(losses)
+        loss = (sum(losses) if loss_weights is None else
+                sum(w * l for w, l in zip(loss_weights, losses)))
         for n, l, a in zip(names, losses, accs):
             metrics[f"nce_loss_{n}"] = l
             metrics[f"nce_acc_{n}"] = a

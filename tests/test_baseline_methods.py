@@ -110,9 +110,13 @@ class TestCMCJigsaw:
         # 4 logit groups: 12, 21, jig2 (f2_jig vs bank2), jig1
         for n in ("12", "21", "jig2", "jig1"):
             assert f"nce_loss_{n}" in metrics
-        # loss = (1-b)(l12+l21) + b(lj2+lj1); metric entries are pre-weighted
-        total = sum(float(metrics[f"nce_loss_{n}"])
-                    for n in ("12", "21", "jig2", "jig1"))
+        # metrics log RAW per-direction losses (reference meter semantics);
+        # the optimized total applies (1-b)/b weighting
+        b = cfg.beta
+        total = ((1 - b) * (float(metrics["nce_loss_12"])
+                            + float(metrics["nce_loss_21"]))
+                 + b * (float(metrics["nce_loss_jig2"])
+                        + float(metrics["nce_loss_jig1"])))
         assert abs(total - float(metrics["loss"])) < 1e-4
 
     def test_cmc_jigsaw_moco_step(self):
