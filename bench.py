@@ -44,7 +44,10 @@ def main():
     n_data = 8192
 
     cfg = resolve_config(TrainConfig(
-        method="CMCRGBD2S", arch="HRNet", width=18,
+        method="CMCRGBD2S",
+        # BENCH_ARCH=HRNetPN benches the second flagship (HRNet + SemGCN +
+        # PointNet++ with the Pallas FPS/ball-query/three-NN kernels)
+        arch=os.environ.get("BENCH_ARCH", "HRNet"), width=18,
         batch_size=batch_size, epochs=100, learning_rate=0.03, cosine=True,
         nce_k=16384, modality_missing=True, crop_size=320,
         compute_dtype="bfloat16",

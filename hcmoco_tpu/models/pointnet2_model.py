@@ -104,12 +104,13 @@ class FPModule(nn.Module):
     """Feature propagation: 3-NN inverse-distance interpolation + MLP."""
 
     mlp: Sequence[int]
+    point_impl: str = "xla"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, unknown, known, unknown_feats, known_feats,
                  train: bool):
-        dist2, idx = three_nn(unknown, known)
+        dist2, idx = three_nn(unknown, known, impl=self.point_impl)
         weight = interpolation_weights(dist2)
         interp = three_interpolate(known_feats, idx, weight)
         if unknown_feats is not None:
@@ -143,7 +144,8 @@ class Pointnet2MSG(nn.Module):
             l_feats.append(nf)
 
         for i in range(len(FP_MLPS) - 1, -1, -1):
-            fp = FPModule(FP_MLPS[i], dtype=self.dtype, name=f"fp{i}")
+            fp = FPModule(FP_MLPS[i], point_impl=self.point_impl,
+                          dtype=self.dtype, name=f"fp{i}")
             l_feats[i] = fp(l_xyz[i], l_xyz[i + 1], l_feats[i],
                             l_feats[i + 1], train)
         return l_feats[0]
@@ -174,10 +176,17 @@ def depth2pts(depth: jnp.ndarray, depth_mask: jnp.ndarray,
     mask = jax.image.resize(depth_mask.astype(jnp.float32), (b, h, w),
                             method="nearest").reshape(b, h * w)
     valid = mask.sum(-1) > 0
-    logp = jnp.where(mask > 0, 0.0, -jnp.inf)
-    safe_logp = jnp.where(valid[:, None], logp, 0.0)
-    sample_ind = jax.random.categorical(
-        rng, safe_logp[:, None, :], axis=-1, shape=(b, n_points))
+    # uniform-over-valid-pixels WITH replacement (multinomial,
+    # build_backbone.py:427) via inverse-CDF: cumsum + searchsorted.  The
+    # equivalent jax.random.categorical over h*w=102400 logits cost 631
+    # ms/step at bs64 (27% of the HRNetPN step — PERF.md); this is the
+    # same distribution for a few ms.
+    cdf = jnp.cumsum(mask, axis=-1)  # (b, hw); steps of 1 at valid pixels
+    total = cdf[:, -1]
+    u = jax.random.uniform(rng, (b, n_points)) * jnp.maximum(total, 1.0)[:, None]
+    sample_ind = jax.vmap(
+        lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    sample_ind = jnp.clip(sample_ind, 0, h * w - 1).astype(jnp.int32)
     sampled = jnp.take_along_axis(pts, sample_ind[..., None], axis=1)
     zero = jnp.zeros_like(sampled)
     sampled = jnp.where(valid[:, None, None], sampled, zero)

@@ -68,12 +68,22 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int,
     0 and running min-distance state (temp buffer init 1e10, the wrapper's
     `torch.cuda.FloatTensor(B,N).fill_(1e10)`, pointnet2_utils.py:23-30).
     """
+    b, n, _ = xyz.shape
+    if npoint == n:
+        # FPS of ALL points selects the full set in FPS visit order; every
+        # downstream consumer (gather of coords+feats by the same idx, then
+        # per-row ball-query/grouping/MLPs, finally coordinate-based 3-NN
+        # interpolation) is permutation-equivariant, so the identity order
+        # is equivalent — and skips the O(N^2) pass.  The reference's first
+        # SA layer hits exactly this case (pointnet2_msg.py NPOINTS[0] =
+        # input N = 4096).
+        return jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None],
+                                (b, n))
     if impl == "pallas":
         from .pallas.fps import fps_pallas
 
         return fps_pallas(xyz, npoint)
 
-    b, n, _ = xyz.shape
     xyz = xyz.astype(jnp.float32)
 
     def step(carry, _):

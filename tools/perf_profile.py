@@ -24,6 +24,7 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--out", default="/tmp/hcmoco_profile")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--arch", default="HRNet")
     args = ap.parse_args()
 
     import jax
@@ -44,7 +45,7 @@ def main():
     n_data = 8192
 
     cfg = resolve_config(TrainConfig(
-        method="CMCRGBD2S", arch="HRNet", width=18,
+        method="CMCRGBD2S", arch=args.arch, width=18,
         batch_size=batch_size, epochs=100, learning_rate=0.03, cosine=True,
         nce_k=16384, modality_missing=True, crop_size=320,
         compute_dtype="bfloat16", remat=args.remat,
