@@ -47,7 +47,8 @@ def main():
         method="CMCRGBD2S",
         # BENCH_ARCH=HRNetPN benches the second flagship (HRNet + SemGCN +
         # PointNet++ with the Pallas FPS/ball-query/three-NN kernels)
-        arch=os.environ.get("BENCH_ARCH", "HRNet"), width=18,
+        arch=os.environ.get("BENCH_ARCH", "HRNet"),
+        width=int(os.environ.get("BENCH_WIDTH", "18")),
         batch_size=batch_size, epochs=100, learning_rate=0.03, cosine=True,
         nce_k=16384, modality_missing=True, crop_size=320,
         compute_dtype="bfloat16",
