@@ -101,19 +101,28 @@ def main():
     dt = time.perf_counter() - t0
 
     samples_per_sec_chip = batch_size * n_iters / dt / n_chips
-    baseline_v100 = 30.0  # samples/s/V100 estimate; target is >=4x
+    # The reference publishes no throughput numbers (BASELINE.md); the
+    # denominator below is the BASELINE.json target's ESTIMATED 30
+    # samples/s/V100, never measured — the honest headline is `value`.
+    baseline_v100 = 30.0
     out = {
         "metric": "hcmoco_stage1_pretrain_throughput",
         "value": round(samples_per_sec_chip, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(samples_per_sec_chip / baseline_v100, 3),
+        "baseline_denominator": "estimated 30 samples/s/V100 (unmeasured; "
+                                "reference publishes no numbers)",
         "batch_per_chip": per_chip,
+        "arch": cfg.arch,
+        "width": cfg.width,
     }
-    out.update(_packed_input_rate(samples_per_sec_chip))
+    out.update(_packed_input_rate(samples_per_sec_chip, per_chip,
+                                  cfg.crop_size))
     print(json.dumps(out))
 
 
-def _packed_input_rate(device_rate: float) -> dict:
+def _packed_input_rate(device_rate: float, per_chip: int,
+                       crop: int) -> dict:
     """End-to-end input evidence (VERDICT round-1 item 4): measure the
     PACKED pipeline's host production rate (mmap crop-window read -> random
     resized crop -> raw uint8/uint16 collate through the thread-pool
@@ -130,15 +139,20 @@ def _packed_input_rate(device_rate: float) -> dict:
     try:
         proc = subprocess.run(
             [sys.executable, os.path.join(here, "tools", "bench_input.py"),
-             "--batch", "128", "--steps", "10",
+             "--batch", str(per_chip), "--crop", str(crop), "--steps", "10",
              "--device_rate", str(device_rate)],
             capture_output=True, text=True, timeout=600, cwd=here)
         info = json.loads(proc.stdout.strip().splitlines()[-1])
         return {
             "input": "packed",
             "host_input_rate": info["value"],
-            "e2e_overlap_rate": info.get("e2e_overlap_rate",
-                                         min(info["value"], device_rate)),
+            "host_input_batch": info.get("batch"),
+            "host_input_crop": info.get("crop"),
+            # min(host, device) is an overlap MODEL, not a measured
+            # overlapped run; tools/bench_overlap.py measures the real
+            # thing on CPU devices (see PERF.md "Input pipeline").
+            "e2e_overlap_model": info.get("e2e_overlap_rate",
+                                          min(info["value"], device_rate)),
             "host_cores": info.get("host_cores"),
         }
     except Exception as e:  # noqa: BLE001 - bench must still print its line

@@ -42,6 +42,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--temperature", type=float, default=None)
     p.add_argument("--alpha", type=float, default=None)
     p.add_argument("--pri3d_num_samples_per_image", type=int, default=None)
+    p.add_argument("--scl_groups", type=int, default=None,
+                   help="cross-subject SCL group count; 0 (default) = one "
+                        "group per data-mesh shard (reference per-GPU "
+                        "semantics), 1 = global batch")
     p.add_argument("--modality_missing", type=int, default=None)
     p.add_argument("--linear_feat_map", type=int, default=None)
     p.add_argument("--pool_method", type=str, default=None)

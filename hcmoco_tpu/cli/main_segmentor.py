@@ -120,7 +120,7 @@ def main(argv=None):
 
     state = jax.device_put(state, replicated_sharding(mesh))
     step_fn = make_segment_train_step(cfg, model, classifier,
-                                      steps_per_epoch)
+                                      steps_per_epoch, mesh=mesh)
     eval_fn = make_validate_fn(cfg, model, classifier)
     logger = MetricLogger(ckpt_dir, print_freq=cfg.print_freq)
 

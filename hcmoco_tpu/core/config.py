@@ -153,6 +153,14 @@ class TrainConfig:
     temperature: float = 0.07  # for pri3d losses
     alpha: float = 0.999  # moco EMA
     pri3d_num_samples_per_image: int = 400
+    # cross-subject SCL grouping: the reference computes SCL on each GPU's
+    # LOCAL batch (DDP never gathers for it, contrast_trainer.py:830-892).
+    # 0 = auto (reference-faithful: one group per data-mesh shard);
+    # 1 = one global-batch group; N = explicit group count.  The CLI and
+    # dryrun_multichip both derive groups from this + the mesh, so the
+    # trained objective matches the multi-chip artifact (PARITY.md "SCL
+    # grouping").
+    scl_groups: int = 0
     modality_missing: bool = False
     # bank logits formulation (same estimator, different TPU cost):
     #   'counts' (default): gather-free — negatives drawn as Multinomial

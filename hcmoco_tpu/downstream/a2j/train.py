@@ -35,6 +35,9 @@ def build_argparser():
     p.add_argument("--crop", type=int, default=288)
     p.add_argument("--print_freq", type=int, default=10)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval_first", action="store_true",
+                   help="evaluate PCK@10cm before training (epoch 0) to "
+                        "establish the untrained baseline")
     return p
 
 
@@ -189,6 +192,9 @@ def main(argv=None):
     opt_state = jax.device_put(opt_state, rep)
     best_acc = -1.0
     gstep = 0
+    if args.eval_first and args.test_dir and args.bndbox_test:
+        acc, _ = evaluate(params, batch_stats)
+        print(f"epoch 0: PCK@10cm {acc:.4f} (untrained baseline)")
     for epoch in range(1, args.epochs + 1):
         logger.reset()
         t0 = time.time()

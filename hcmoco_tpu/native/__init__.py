@@ -155,9 +155,11 @@ def native_lib() -> Optional[NativeLib]:
         if _lib_cache is not None or _tried:
             return _lib_cache
         _tried = True
+        if os.environ.get("HCMOCO_NO_NATIVE"):
+            # escape hatch: force the pure-python fallback even when the
+            # .so already exists (debugging pixel/input discrepancies)
+            return None
         if not os.path.exists(_SO):
-            if os.environ.get("HCMOCO_NO_NATIVE"):
-                return None
             if not build_native():
                 return None
         try:
@@ -175,9 +177,9 @@ def resample_lib() -> Optional[ResampleLib]:
         if _resample_cache is not None or _resample_tried:
             return _resample_cache
         _resample_tried = True
+        if os.environ.get("HCMOCO_NO_NATIVE"):
+            return None
         if not os.path.exists(_RESAMPLE_SO):
-            if os.environ.get("HCMOCO_NO_NATIVE"):
-                return None
             if not build_native():
                 return None
         if not os.path.exists(_RESAMPLE_SO):

@@ -111,7 +111,7 @@ def _scl_grouped(lm1, lm2, joints2d, use_depth, use_rgb, temperature,
 
 def make_contrast_train_step(cfg: TrainConfig, model,
                              steps_per_epoch: int,
-                             scl_groups: int = 1,
+                             scl_groups: int = None,
                              donate: bool = False,
                              mesh=None):
     """Build the jittable train step for cfg.mem in
@@ -124,7 +124,16 @@ def make_contrast_train_step(cfg: TrainConfig, model,
     mesh: pass the execution Mesh when running multi-device — it pins the
     counts-mode negative sampler to replicated compute (see
     memory.sample_negative_counts: without it GSPMD puts an all-reduce in
-    every binomial rejection-loop condition)."""
+    every binomial rejection-loop condition).
+
+    scl_groups: None (default) derives from cfg.scl_groups — 0 = one group
+    per data-mesh shard, reproducing the reference's per-GPU local-batch
+    SCL (contrast_trainer.py:830-892)."""
+    if scl_groups is None:
+        scl_groups = cfg.scl_groups
+    if scl_groups == 0:
+        scl_groups = (dict(mesh.shape).get("data", 1)
+                      if mesh is not None else 1)
     tx, lr_fn = make_optimizer(cfg, steps_per_epoch)
     replicated = None
     if mesh is not None and mesh.size > 1:
@@ -372,12 +381,17 @@ def make_contrast_train_step(cfg: TrainConfig, model,
                         "shuffle_ids": shuffle_ids}
         out_q, new_bs = _apply(model, params, batch_stats, q_in, train=True,
                                **apply_kw)
-        # key encoder: EMA params, no BN-stat mutation, batch permuted
-        # (ShuffleBN analog; with global sync-BN this is belt-and-braces)
+        # key encoder: EMA params, batch permuted (ShuffleBN analog; with
+        # global sync-BN this is belt-and-braces).  train=True: the
+        # reference sets the EMA model's BN layers to TRAIN mode
+        # (set_bn_train, contrast_trainer.py:266-269), so keys are
+        # normalized with BATCH statistics, not running averages; the
+        # stat mutation is discarded (the reference's EMA-model running
+        # stats are never consumed during training either).
         perm = jax.random.permutation(rng, x.shape[0])
         inv = jnp.argsort(perm)
         out_k, _ = _apply(model, params_ema, batch_stats, k_in[perm],
-                          train=False)
+                          train=True)
         if cfg.modal == "CMC":
             # CMCMoCo (mem_moco.py:91-142): cross-modal query-vs-key
             k1 = jax.lax.stop_gradient(out_k["feat1"][inv])

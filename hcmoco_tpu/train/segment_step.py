@@ -62,17 +62,30 @@ def weighted_seg_ce(logits: jnp.ndarray, labels: jnp.ndarray,
 
 
 def seg_logits(classifier, cls_params, lm1, lm2, mode: str,
-               train: bool, batch_stats):
+               train: bool, batch_stats, sample_mask=None):
     """Apply the FCN head on normalized features (segment_trainer.py
-    :723-744, :908-920). mode in {'rgbd','rgb','d'}."""
+    :723-744, :908-920). mode in {'rgbd','rgb','d'}.
+
+    sample_mask: the reference only feeds `true_label` frames through the
+    classifier in training (:747-769); the head's BN statistics therefore
+    exclude unlabeled frames (MaskedBatchNorm)."""
     n1 = _l2norm_channels(lm1)
     n2 = _l2norm_channels(lm2)
     feats = {"rgbd": jnp.maximum(n1, n2), "rgb": n1, "d": n2}[mode]
-    return _apply(classifier, cls_params, batch_stats, feats, train=train)
+    return _apply(classifier, cls_params, batch_stats, feats, train=train,
+                  sample_mask=sample_mask)
 
 
 def make_segment_train_step(cfg: TrainConfig, model, classifier,
-                            steps_per_epoch: int, scl_groups: int = 1):
+                            steps_per_epoch: int, scl_groups: int = None,
+                            mesh=None):
+    """scl_groups: None derives from cfg.scl_groups (0 = one group per
+    data-mesh shard = the reference's per-GPU local-batch SCL)."""
+    if scl_groups is None:
+        scl_groups = cfg.scl_groups
+    if scl_groups == 0:
+        scl_groups = (dict(mesh.shape).get("data", 1)
+                      if mesh is not None else 1)
     tx, lr_fn = make_optimizer(cfg, steps_per_epoch)
     class_weights = jnp.asarray(NTU_SEG_CLASS_WEIGHTS[: cfg.n_class],
                                 jnp.float32)
@@ -92,15 +105,19 @@ def make_segment_train_step(cfg: TrainConfig, model, classifier,
             batch["skeleton"], train=True, return_fm=True)
 
         feats = jnp.stack([out["feat1"], out["feat2"], out["feat3"]])
+        # neg_idx / pix_idx: optional pinned samples (reference-parity
+        # harness, tools/ref_parity.py --stage seg)
         logits, new_memory = cmc3_forward(
             memory, feats, y, feats, y, rngs[0],
-            k=cfg.nce_k, temperature=cfg.nce_t, m=cfg.nce_m)
+            k=cfg.nce_k, temperature=cfg.nce_t, m=cfg.nce_m,
+            neg_idx=batch.get("neg_idx"))
         losses, accs = compute_loss_accuracy(logits, use_depth=use_depth,
                                              use_rgb=use_rgb)
         sp_losses, sp_accs = soft_pri3d_loss(
             rngs[1], out["linear_merge1"], out["linear_merge2"],
             batch["depth_mask"], cfg.pri3d_num_samples_per_image,
-            cfg.temperature, use_depth=use_depth)
+            cfg.temperature, use_depth=use_depth,
+            sample_ind=batch.get("pix_idx"))
         j_losses, j_accs = joints_pri3d_loss(
             out["linear_merge1"], out["linear_merge2"], out["fm3"],
             batch["joints2d"], batch["joints_vis"], cfg.temperature,
@@ -116,7 +133,8 @@ def make_segment_train_step(cfg: TrainConfig, model, classifier,
         if sup_mode is not None:
             seg_out, new_cls_bs = seg_logits(
                 classifier, params["classifier"], out["linear_merge1"],
-                out["linear_merge2"], sup_mode, True, cls_bs)
+                out["linear_merge2"], sup_mode, True, cls_bs,
+                sample_mask=batch["true_label"])
             loss_seg = weighted_seg_ce(
                 seg_out, batch["label"], class_weights,
                 sample_mask=batch["true_label"])

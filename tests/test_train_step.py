@@ -230,6 +230,55 @@ class TestMoCo:
                                        rtol=5e-2, atol=5e-2)
 
 
+class TestSCLGrouping:
+    """VERDICT round-2 weak #4: the reference computes cross-subject SCL on
+    each GPU's LOCAL batch (contrast_trainer.py:830-892).  cfg.scl_groups=0
+    (default) must derive one group per data-mesh shard in BOTH the CLI
+    step (mesh passed) and dryrun_multichip, and grouped SCL must actually
+    differ from global-batch SCL (so the pin is meaningful)."""
+
+    def _stage2_cfg(self):
+        return tiny_cfg(mem="bank+jointspri3d", linear_feat_map=True,
+                        pri3d_num_samples_per_image=8)
+
+    def test_grouped_differs_from_global(self):
+        from hcmoco_tpu.train.contrast_step import _scl_grouped
+
+        rng = np.random.default_rng(3)
+        b, h, w, c, j = 8, 8, 8, 16, 16
+        lm1 = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+        lm2 = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+        j2d = jnp.asarray(rng.uniform(0, 4 * h, (b, j, 2)), jnp.float32)
+        ones = jnp.ones((b,), jnp.int32)
+        g1 = float(_scl_grouped(lm1, lm2, j2d, ones, ones, 0.07, 1))
+        g4 = float(_scl_grouped(lm1, lm2, j2d, ones, ones, 0.07, 4))
+        assert np.isfinite(g1) and np.isfinite(g4)
+        assert abs(g1 - g4) > 1e-4, (g1, g4)
+
+    def test_auto_matches_explicit_mesh_groups(self):
+        cfg = self._stage2_cfg()
+        assert cfg.scl_groups == 0  # auto is the default
+        model, batch, state, _ = setup(cfg)
+        mesh = make_mesh()
+        sharded = shard_batch(batch, mesh)
+        rep = replicated_sharding(mesh)
+
+        auto = make_contrast_train_step(cfg, model, steps_per_epoch=2,
+                                        mesh=mesh)
+        explicit = make_contrast_train_step(cfg, model, steps_per_epoch=2,
+                                            scl_groups=8, mesh=mesh)
+        glob = make_contrast_train_step(cfg, model, steps_per_epoch=2,
+                                        scl_groups=1, mesh=mesh)
+        k = jax.random.PRNGKey(5)
+        _, m_auto = auto(jax.device_put(state, rep), sharded, k)
+        _, m_exp = explicit(jax.device_put(state, rep), sharded, k)
+        _, m_glob = glob(jax.device_put(state, rep), sharded, k)
+        np.testing.assert_allclose(float(m_auto["loss_scl"]),
+                                   float(m_exp["loss_scl"]), rtol=1e-6)
+        assert abs(float(m_auto["loss_scl"])
+                   - float(m_glob["loss_scl"])) > 1e-5
+
+
 class TestBankCollisions:
     def test_update_memory_last_write_wins_sharded(self):
         """SURVEY §7 hard-part 3: duplicate sample indices across shards
