@@ -255,11 +255,11 @@ def _cmc3_logits_hybrid(feats: jnp.ndarray, banks: jnp.ndarray,
 
 
 def _cmc3_hybrid_fwd(feats, banks, idx):
-    return _cmc3_logits_hybrid(feats, banks, idx), (banks, idx)
+    return _cmc3_logits_hybrid(feats, banks, idx), (banks, idx, feats.dtype)
 
 
 def _cmc3_hybrid_bwd(res, g, chunk: int = 1024):
-    banks, idx = res
+    banks, idx, feats_dtype = res
     bsz, kp1 = idx.shape
     dim = banks.shape[-1]
     g = g.astype(jnp.float32)
@@ -308,7 +308,7 @@ def _cmc3_hybrid_bwd(res, g, chunk: int = 1024):
 
         df, _ = jax.lax.scan(
             body, jnp.zeros((3, bsz, dim), jnp.float32), (idx_c, g_c))
-    return (df, jnp.zeros_like(banks),
+    return (df.astype(feats_dtype), jnp.zeros_like(banks),
             np.zeros(idx.shape, dtype=jax.dtypes.float0))
 
 
@@ -382,10 +382,10 @@ class MoCoState:
 
 def init_moco(rng: jax.Array, n_modal: int, k: int,
               dim: int = 128) -> MoCoState:
+    """randn rows L2-normalized (RGBMoCo/CMCMoCo __init__,
+    mem_moco.py:56-58,95-98: `F.normalize(torch.randn(K, n_dim))`)."""
     q = jax.random.normal(rng, (n_modal, k, dim), jnp.float32)
-    # reference scales by 1/sqrt(dim/3) after randn (mem_moco.py:16-18)
-    q = q / jnp.sqrt(jnp.asarray(dim / 3.0))
-    return MoCoState(queues=q, ptr=jnp.zeros((), jnp.int32))
+    return MoCoState(queues=_l2norm(q), ptr=jnp.zeros((), jnp.int32))
 
 
 def moco_logits(q: jnp.ndarray, k_pos: jnp.ndarray, queue: jnp.ndarray,

@@ -310,6 +310,134 @@ def hcmoco_torch_to_flax(state_dict: Dict[str, Any], params: Dict,
     return params, batch_stats, total
 
 
+def fcn_torch_to_flax(state_dict: Dict[str, Any], params: Dict,
+                      batch_stats: Dict):
+    """Load the reference FCNHead state dict (networks/fcn.py:35-111:
+    convs.{i}.conv / convs.{i}.norm_name BN / conv_seg) into our FCNHead
+    trees (conv{i} / bn{i} / conv_seg)."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    flat_p = dict(_flatten(params))
+    flat_s = dict(_flatten(batch_stats))
+    n = 0
+    i = 0
+    while f"convs.{i}.conv.weight" in sd:
+        flat_p[(f"conv{i}", "kernel")] = np.transpose(
+            sd[f"convs.{i}.conv.weight"], (2, 3, 1, 0))
+        if f"convs.{i}.conv.bias" in sd:
+            flat_p[(f"conv{i}", "bias")] = sd[f"convs.{i}.conv.bias"]
+        bn = f"convs.{i}.norm_name"
+        flat_p[(f"bn{i}", "scale")] = sd[f"{bn}.weight"]
+        flat_p[(f"bn{i}", "bias")] = sd[f"{bn}.bias"]
+        flat_s[(f"bn{i}", "mean")] = sd[f"{bn}.running_mean"]
+        flat_s[(f"bn{i}", "var")] = sd[f"{bn}.running_var"]
+        n += 1
+        i += 1
+    if "conv_seg.weight" in sd:
+        flat_p[("conv_seg", "kernel")] = np.transpose(
+            sd["conv_seg.weight"], (2, 3, 1, 0))
+        flat_p[("conv_seg", "bias")] = sd["conv_seg.bias"]
+        n += 1
+    new_p, new_s = {}, {}
+    for path, v in flat_p.items():
+        _unflatten_set(new_p, path, v)
+    for path, v in flat_s.items():
+        _unflatten_set(new_s, path, v)
+    return new_p, new_s, n
+
+
+def _resnet_torch_name(path) -> Optional[tuple]:
+    """Map one of our flax ResNet conv/bn module paths to the torch
+    (conv_prefix, bn_prefix).  Ours (models/resnet.py): stem_conv/stem_bn,
+    layer{s}_block{b}/{c1,c2,c3,ds}_{conv,bn}.  Torch (reference
+    resnet.py): conv1/bn1, layer{s}.{b}.conv{k}/bn{k}, downsample.{0,1}."""
+    if path[0] == "stem_conv":
+        return ("conv1", None)
+    if path[0] == "stem_bn":
+        return (None, "bn1")
+    m = re.fullmatch(r"layer(\d)_block(\d+)", path[0])
+    if m and len(path) > 1:
+        s, b = m.groups()
+        leaf = path[1]
+        m2 = re.fullmatch(r"(c\d|ds)_(conv|bn)", leaf)
+        if not m2:
+            return None
+        part, kind = m2.groups()
+        if part == "ds":
+            t = f"layer{s}.{b}.downsample.{0 if kind == 'conv' else 1}"
+        else:
+            t = f"layer{s}.{b}.{'conv' if kind == 'conv' else 'bn'}{part[1]}"
+        return (t, None) if kind == "conv" else (None, t)
+    return None
+
+
+def resnet_torch_to_flax(state_dict: Dict[str, Any], params: Dict,
+                         batch_stats: Dict, torch_prefix: str = ""):
+    """Load a reference-ResNet torch state dict into our flax ResNet
+    (models/resnet.py) params+batch_stats trees.  Used by the MoCo
+    reference-parity harness (RGBSingleHead encoder, build_backbone.py:23)."""
+    sd = {k[len(torch_prefix):]: np.asarray(v)
+          for k, v in state_dict.items() if k.startswith(torch_prefix)}
+    flat_p = dict(_flatten(params))
+    flat_s = dict(_flatten(batch_stats))
+    n = 0
+    seen = set()
+    for path in list(flat_p):
+        mod = path[:-1]
+        if mod in seen:
+            continue
+        seen.add(mod)
+        tn = _resnet_torch_name(mod)
+        if tn is None:
+            continue
+        conv_t, bn_t = tn
+        if conv_t is not None:
+            w = sd.get(f"{conv_t}.weight")
+            if w is not None and w.ndim == 4:
+                got = np.transpose(w, (2, 3, 1, 0))
+                if got.shape == flat_p[mod + ("kernel",)].shape:
+                    flat_p[mod + ("kernel",)] = got
+                    n += 1
+        else:
+            for ours, theirs, store in (
+                (("scale",), f"{bn_t}.weight", flat_p),
+                (("bias",), f"{bn_t}.bias", flat_p),
+                (("mean",), f"{bn_t}.running_mean", flat_s),
+                (("var",), f"{bn_t}.running_var", flat_s),
+            ):
+                v = sd.get(theirs)
+                key = mod + ours
+                if v is not None and key in store \
+                        and v.shape == store[key].shape:
+                    store[key] = v
+    new_p, new_s = {}, {}
+    for path, v in flat_p.items():
+        _unflatten_set(new_p, path, v)
+    for path, v in flat_s.items():
+        _unflatten_set(new_s, path, v)
+    return new_p, new_s, n
+
+
+def single_modal_torch_to_flax(state_dict: Dict[str, Any], params: Dict,
+                               batch_stats: Dict):
+    """Load a reference RGBSingleHead state dict (resnet encoder + linear
+    head, build_backbone.py:14-58) into our SingleModalModel trees."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params = dict(params)
+    batch_stats = dict(batch_stats)
+    p, s, n = resnet_torch_to_flax(sd, params["encoder"],
+                                   batch_stats.get("encoder", {}),
+                                   torch_prefix="encoder.")
+    params["encoder"] = p
+    batch_stats["encoder"] = s
+    w = sd.get("head.0.weight")
+    if w is not None and "head" in params:
+        params["head"] = dict(params["head"])
+        params["head"]["fc"] = {"kernel": np.transpose(w, (1, 0)),
+                                "bias": sd["head.0.bias"]}
+        n += 1
+    return params, batch_stats, n
+
+
 def export_encoder(state, encoder_name: str, out_path: str):
     """transfer_ckpt equivalent: write the flat torch-named HRNet state dict
     for `encoder1` (RGB) or `encoder2` (depth) to out_path (.pth)."""

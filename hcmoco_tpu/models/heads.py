@@ -73,12 +73,70 @@ class JigsawHead(nn.Module):
         return l2_normalize(x, axis=-1)
 
 
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm whose training statistics can exclude masked-out samples.
+
+    The reference versatility trainer applies its FCN classifier ONLY to the
+    `true_label` (labeled) frames (`classifier(max_linear_merge[true_label])`,
+    segment_trainer.py:747-769), so the head's torch-BN statistics come from
+    the labeled subset.  Under jit that boolean indexing is a dynamic shape;
+    instead we run all frames and weight the statistics by `sample_mask`
+    (per-sample 0/1), which is the identical math.  Variable layout matches
+    nn.BatchNorm (params scale/bias, batch_stats mean/var) so the transfer
+    bridge and checkpoints are unchanged.  Running-stat update uses torch
+    semantics: momentum as (1-torch_momentum) EMA, UNBIASED batch variance
+    (torch BN tracks unbiased var, functional._batch_norm)."""
+
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool, sample_mask=None):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if not train:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            red = tuple(range(x.ndim - 1))
+            if sample_mask is None:
+                n = float(np.prod(x.shape[:-1]))
+                mean = jnp.mean(xf, axis=red)
+                var = jnp.mean(jnp.square(xf - mean), axis=red)
+            else:
+                w = sample_mask.astype(jnp.float32).reshape(
+                    (-1,) + (1,) * (x.ndim - 1))
+                n = jnp.maximum(
+                    jnp.sum(w) * float(np.prod(x.shape[1:-1])), 1.0)
+                mean = jnp.sum(xf * w, axis=red) / n
+                var = jnp.sum(jnp.square(xf - mean) * w, axis=red) / n
+            if not self.is_initializing():
+                unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * mean)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * unbiased)
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(
+            var + self.epsilon) * scale + bias
+        return y.astype(self.dtype)
+
+
 class FCNHead(nn.Module):
     """FCN segmentation head (networks/fcn.py:35-111).
 
     num_convs ConvModule (conv+BN+ReLU) then 1x1 classifier, bilinearly
     upsampled 4x.  build_segmentor uses in=channels=128, num_convs=1,
     kernel_size=1 (build_linear.py:4-15).  NHWC.
+
+    sample_mask: per-sample 0/1 — training BN statistics exclude masked
+    frames, reproducing the reference's classifier-on-labeled-frames-only
+    semantics (segment_trainer.py:747-769; see MaskedBatchNorm).
     """
 
     channels: int
@@ -88,7 +146,8 @@ class FCNHead(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = True,
+                 sample_mask=None) -> jnp.ndarray:
         pad = self.kernel_size // 2
         for i in range(self.num_convs):
             x = nn.Conv(
@@ -96,10 +155,9 @@ class FCNHead(nn.Module):
                 padding=[(pad, pad)] * 2, dtype=self.dtype,
                 name=f"conv{i}",
             )(x)
-            x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtype, name=f"bn{i}",
-            )(x)
+            x = MaskedBatchNorm(momentum=0.9, epsilon=1e-5,
+                                dtype=self.dtype, name=f"bn{i}")(
+                x, train, sample_mask)
             x = nn.relu(x)
         logits = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
                          name="conv_seg")(x)

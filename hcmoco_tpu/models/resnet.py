@@ -70,6 +70,10 @@ class ResNet(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype, name="stem_bn")(x)
         x = nn.relu(x)
+        # the reference forward applies maxpool TWICE (resnet.py:215-219 —
+        # `x = self.maxpool(x)` on consecutive lines), giving /8 resolution
+        # before layer1.  Preserved for checkpoint/parity compatibility.
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
 
         features = base

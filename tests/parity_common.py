@@ -100,6 +100,57 @@ def stage2_pixel_indices(batches, num_samples=8, crop=CROP):
             for b in batches]
 
 
+MOCO_K = 32
+MOCO_ALPHA = 0.99
+# crop 64 leaves resnet50's layer4 at 1x1 spatial: train-mode BN statistics
+# over 4-6 values amplify conv-backend fp32 roundoff ~90x per stage (torch
+# CPU conv vs XLA conv differ at ~2e-4 after layer1) and step-0 parity is
+# unreachable.  128 -> layer4 4x4, amplification drops to ~1e-2 absolute.
+MOCO_CROP = 128
+QUEUE_SEED = 14
+SEG_SEED = 15
+
+
+def synth_moco_queue(k=MOCO_K, dim=FEAT_DIM, seed=QUEUE_SEED):
+    """(k, dim) L2-normalized rows — pinned replacement for RGBMoCo's
+    `F.normalize(torch.randn(K, n_dim))` (mem_moco.py:56-58)."""
+    r = np.random.RandomState(seed)
+    q = r.randn(k, dim).astype(np.float32)
+    return q / np.maximum(np.sqrt((q ** 2).sum(-1, keepdims=True)), 1e-12)
+
+
+def synth_moco_batches(steps=STEPS, bsz=BSZ, crop=MOCO_CROP,
+                       seed=BATCH_SEED):
+    """Two 3-channel crops stacked on channels (the moco loader layout,
+    contrast_trainer.py:288-293)."""
+    rng = np.random.default_rng(seed)
+    return [{
+        "rgbd": (rng.standard_normal((bsz, crop, crop, 6)) * 0.5)
+        .astype(np.float32),
+        "index": rng.choice(1024, bsz, replace=False).astype(np.int64),
+    } for _ in range(steps)]
+
+
+def synth_seg_batches(steps=STEPS, bsz=BSZ, crop=CROP, n_joints=N_JOINTS,
+                      n_data=N_DATA, k=NCE_K, n_class=25):
+    """Versatility-trainer batches: the stage-2 fields + seg label
+    (255-ignore regions) + true_label with >=2 labeled frames per batch so
+    the seg loss fires every step (segment_trainer.py:747-769)."""
+    batches = synth_batches(steps=steps, bsz=bsz, crop=crop,
+                            n_joints=n_joints, n_data=n_data, k=k,
+                            stage2=True)
+    rng = np.random.default_rng(SEG_SEED)
+    for b in batches:
+        label = rng.integers(0, n_class, (bsz, crop, crop)).astype(np.int64)
+        ignore = rng.random((bsz, crop, crop)) < 0.15
+        label[ignore] = 255
+        b["label"] = label
+        tl = (rng.random(bsz) < 0.5).astype(np.int64)
+        tl[:2] = 1
+        b["true_label"] = tl
+    return batches
+
+
 def synth_batches(steps=STEPS, bsz=BSZ, crop=CROP, n_joints=N_JOINTS,
                   n_data=N_DATA, k=NCE_K, seed=BATCH_SEED, stage2=False):
     """Per-step batch dicts (numpy, NHWC) with pinned negative indices.

@@ -152,3 +152,158 @@ def test_stage2_loss_curve_matches_reference():
         assert dev <= max(2.0 * env, 0.02 * scale), (
             f"{key}: mean dev {dev:.4f} vs envelope {env:.4f} "
             f"(scale {scale:.3f})")
+
+
+@pytest.mark.slow
+def test_seg_trainer_loss_curve_matches_reference():
+    """Versatility trainer (`SegTrainer.train_soft_joint_pri3d`,
+    segment_trainer.py:617-824): the stage-2 losses under
+    cmc_loss_weights/other_loss_weights weighting plus the class-weighted
+    seg CE x10 on true_label frames (supervise_type=0 max-fusion head),
+    replayed through train/segment_step.py.  Regenerate with:
+    python tools/ref_parity.py --stage seg"""
+    from hcmoco_tpu.models.heads import FCNHead
+    from hcmoco_tpu.export.transfer import fcn_torch_to_flax
+    from hcmoco_tpu.train.state import TrainState, make_optimizer
+    from hcmoco_tpu.train.segment_step import make_segment_train_step
+
+    golden = np.load(os.path.join(HERE, "golden", "ref_loss_curve_sseg.npz"))
+    steps = int(golden["steps"])
+    cfg = TrainConfig(
+        method="Customize", modal="RGBD2S", arch="HRNet", width=18,
+        mem="bank+jointspri3d", linear_feat_map=True,
+        nce_k=pc.NCE_K, nce_m=pc.NCE_M, nce_t=pc.NCE_T,
+        temperature=0.07, pri3d_num_samples_per_image=8,
+        batch_size=pc.BSZ, epochs=100, learning_rate=pc.LR,
+        momentum=pc.MOMENTUM, weight_decay=pc.WEIGHT_DECAY,
+        cosine=False, warm=False, modality_missing=True,
+        compute_dtype="float32", crop_size=pc.CROP,
+        n_class=25, supervise_type=0,
+        cmc_loss_weights=0.5, other_loss_weights=2.0,
+        bank_logits="dense",
+    )
+    batches = pc.synth_seg_batches(steps=steps, n_class=cfg.n_class)
+    pix = pc.stage2_pixel_indices(batches, cfg.pri3d_num_samples_per_image)
+    for b, p in zip(batches, pix):
+        b["pix_idx"] = p
+
+    model, base = _transplanted_state(cfg, batches)
+    classifier = FCNHead(channels=128, num_classes=cfg.n_class,
+                         num_convs=1, kernel_size=1)
+    cv = classifier.init(jax.random.PRNGKey(1),
+                         jnp.zeros((1, pc.CROP // 4, pc.CROP // 4, 128)),
+                         train=False)
+    synth_c = pc.synth_state_dict(pc.read_keys_file(
+        os.path.join(HERE, "golden", "fcn_torch_keys.txt")))
+    cp, cs, n = fcn_torch_to_flax(synth_c, cv["params"],
+                                  cv.get("batch_stats", {}))
+    assert n >= 2, n
+    params = {"model": base.params, "classifier": cp}
+    batch_stats = {"model": base.batch_stats, "classifier": cs}
+    tx, _ = make_optimizer(cfg, steps)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=batch_stats, opt_state=tx.init(params),
+                       memory=base.memory)
+    step_fn = make_segment_train_step(cfg, model, classifier,
+                                      steps_per_epoch=steps)
+
+    keys = ("loss", "loss_rgb2depth", "loss_depth2rgb", "loss_rgb2joint",
+            "loss_d2joint", "loss_scl", "loss_seg")
+    got = {k: [] for k in keys}
+    for t, b in enumerate(batches):
+        jb = {k: jnp.asarray(v) for k, v in b.items()}
+        state, metrics = step_fn(state, jb, jax.random.PRNGKey(100 + t))
+        for k in keys:
+            got[k].append(metrics[k])
+
+    for key in keys:
+        ours = np.asarray(jax.device_get(got[key]), np.float64)
+        ref = golden[key]
+        np.testing.assert_allclose(ours[0], ref[0], rtol=1e-3,
+                                   err_msg=f"{key} step 0")
+        env = np.abs(golden["pert_" + key] - ref).mean()
+        dev = np.abs(ours - ref).mean()
+        scale = np.abs(ref).mean()
+        assert dev <= max(2.0 * env, 0.02 * scale), (
+            f"{key}: mean dev {dev:.4f} vs envelope {env:.4f} "
+            f"(scale {scale:.3f})")
+
+
+@pytest.mark.slow
+def test_moco_loss_curve_matches_reference():
+    """MoCo path (`ContrastTrainer._train_moco`,
+    contrast_trainer.py:255-392): RGBSingleHead(resnet50) two-tower EMA +
+    RGBMoCo FIFO queue, train-mode BN in the key pass, replayed through
+    our moco train step.  Regenerate with:
+    python tools/ref_parity.py --stage moco"""
+    from hcmoco_tpu.contrast.memory import MoCoState
+    from hcmoco_tpu.export.transfer import single_modal_torch_to_flax
+
+    golden = np.load(os.path.join(HERE, "golden",
+                                  "ref_loss_curve_smoco.npz"))
+    steps = int(golden["steps"])
+    cfg = TrainConfig(
+        method="Customize", modal="RGB", arch="resnet50", mem="moco",
+        nce_k=pc.MOCO_K, nce_t=pc.NCE_T, alpha=pc.MOCO_ALPHA,
+        batch_size=pc.BSZ, epochs=100, learning_rate=pc.LR,
+        momentum=pc.MOMENTUM, weight_decay=pc.WEIGHT_DECAY,
+        cosine=False, warm=False, compute_dtype="float32",
+        crop_size=pc.MOCO_CROP,
+    )
+    batches = pc.synth_moco_batches(steps=steps)
+    model = build_model(cfg)
+    state = create_train_state(
+        cfg, model, jax.random.PRNGKey(0),
+        {"rgbd": jnp.asarray(batches[0]["rgbd"][:, :, :, :3])},
+        n_data=1024, steps_per_epoch=steps)
+    synth = pc.synth_state_dict(pc.read_keys_file(
+        os.path.join(HERE, "golden", "rgb_moco_torch_keys.txt")))
+    params, stats, n = single_modal_torch_to_flax(
+        synth, state.params, dict(state.batch_stats))
+    assert n > 50, f"only {n} tensors transplanted"
+    state = state.replace(
+        params=params, batch_stats=stats,
+        params_ema=jax.tree_util.tree_map(jnp.copy, params),
+        moco=MoCoState(queues=jnp.asarray(pc.synth_moco_queue())[None],
+                       ptr=jnp.zeros((), jnp.int32)))
+    step_fn = make_contrast_train_step(cfg, model, steps_per_epoch=steps)
+
+    losses, accs = [], []
+    for t, b in enumerate(batches):
+        jb = {k: jnp.asarray(v) for k, v in b.items()}
+        state, metrics = step_fn(state, jb, jax.random.PRNGKey(100 + t))
+        losses.append(metrics["loss"])
+        accs.append(metrics["nce_acc"])
+
+    ours = np.asarray(jax.device_get(losses), np.float64)
+    ref = golden["loss"]
+    # step 0 sits in the near-zero flat region (q==k from identical init);
+    # absolute tolerance reflects the measured conv-backend fp32
+    # amplification through 16 train-mode BNs (parity_common.MOCO_CROP)
+    np.testing.assert_allclose(ours[0], ref[0], atol=0.05,
+                               err_msg="moco loss step 0")
+    env = np.abs(golden["pert_loss"] - ref).mean()
+    dev = np.abs(ours - ref).mean()
+    scale = max(np.abs(ref).mean(), 0.1)
+    assert dev <= max(2.0 * env, 0.05 * scale), (
+        f"moco loss: mean dev {dev:.4f} vs envelope {env:.4f}")
+    # end-state: the harness pins ShuffleBN to the identity permutation,
+    # so enqueue order matches ours position-wise.  Keys at step t ride the
+    # accumulated (chaotic) EMA-params trajectory, so compare directions:
+    # every enqueued key must point the same way as the reference's.
+    # Keys at step t ride the accumulated EMA of the (chaotic) SGD
+    # trajectory; the golden's own 1e-6-perturbed rerun drifts to
+    # cos ~0.93/0.95 (min/mean) against itself, so gate our drift at 3x
+    # that intrinsic envelope (our fp path is a far larger perturbation).
+    q_ref = np.asarray(golden["queue_final"])
+    q_ours = np.asarray(jax.device_get(state.moco.queues[0]))
+    assert q_ours.shape == q_ref.shape
+    filled = min(steps * pc.BSZ, pc.MOCO_K)
+    cos = np.sum(q_ours[:filled] * q_ref[:filled], axis=-1)
+    p_cos = np.sum(golden["pert_queue_final"][:filled]
+                   * q_ref[:filled], axis=-1)
+    assert cos.min() > 1 - 3 * (1 - p_cos.min()), (cos.min(), p_cos.min())
+    assert cos.mean() > 1 - 3 * (1 - p_cos.mean()), (cos.mean(),
+                                                     p_cos.mean())
+    assert int(jax.device_get(state.moco.ptr)) == (
+        steps * pc.BSZ) % pc.MOCO_K
