@@ -13,20 +13,25 @@ import zlib
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
-from hcmoco_tpu.core.config import HRNET_W18
+from hcmoco_tpu.core.config import HRNET_CONFIGS
 from hcmoco_tpu.models.hrnet import HRNet
 from hcmoco_tpu.export.transfer import hrnet_torch_to_flax
 
-GOLDEN = np.load(os.path.join(os.path.dirname(__file__), "golden",
-                              "hrnet_forward_golden.npz"))
-KEYS = os.path.join(os.path.dirname(__file__), "golden",
-                    "hrnet_w18_torch_keys.txt")
+HERE = os.path.dirname(__file__)
 
 
-def synth_state_dict(seed=7):
+def _paths(width):
+    suffix = "" if width == 18 else f"_w{width}"
+    return (os.path.join(HERE, "golden",
+                         f"hrnet_forward_golden{suffix}.npz"),
+            os.path.join(HERE, "golden", f"hrnet_w{width}_torch_keys.txt"))
+
+
+def synth_state_dict(keys_path, seed=7):
     keys_shapes = []
-    with open(KEYS) as f:
+    with open(keys_path) as f:
         for line in f:
             k, _, shape = line.rstrip("\n").partition("\t")
             keys_shapes.append(
@@ -51,19 +56,25 @@ def synth_state_dict(seed=7):
     return sd
 
 
-def test_hrnet_forward_matches_reference_bitwise_weights():
-    model = HRNet(HRNET_W18, dtype=jnp.float32)
-    x_nchw = GOLDEN["input"]
-    x = jnp.asarray(np.transpose(x_nchw, (0, 2, 3, 1)))
+@pytest.mark.parametrize("width", [18, 32, 48])
+def test_hrnet_forward_matches_reference_bitwise_weights(width):
+    """Numerical forward parity per width against the reference
+    `get_hrnet_w{18,32,48}_backbone()` (official_hrnet.py:484-503;
+    DensePose w32 yaml is the downstream W32 consumer).  Regenerate with
+    `python tools/gen_hrnet_forward_golden.py --width N`."""
+    golden_path, keys_path = _paths(width)
+    golden = np.load(golden_path)
+    model = HRNet(HRNET_CONFIGS[width], dtype=jnp.float32)
+    x = jnp.asarray(np.transpose(golden["input"], (0, 2, 3, 1)))
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
-    sd = synth_state_dict(int(GOLDEN["seed"]))
+    sd = synth_state_dict(keys_path, int(golden["seed"]))
     params, stats, n = hrnet_torch_to_flax(
         sd, variables["params"], variables["batch_stats"])
     assert n > 200
     outs = model.apply({"params": params, "batch_stats": stats}, x,
                        train=False)
     for i, o in enumerate(outs):
-        want = np.transpose(GOLDEN[f"out{i}"], (0, 2, 3, 1))
+        want = np.transpose(golden[f"out{i}"], (0, 2, 3, 1))
         got = np.asarray(o)
         denom = np.abs(want).mean()
         rel = np.abs(got - want).max() / denom
