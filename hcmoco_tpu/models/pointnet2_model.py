@@ -30,7 +30,7 @@ from flax import linen as nn
 
 from ..core.config import HRNET_CONFIGS
 from ..ops.point_ops import (
-    furthest_point_sample, ball_query, gather_points, group_points,
+    furthest_point_sample, ball_query, gather_points,
     three_nn, three_interpolate, interpolation_weights,
 )
 from .hrnet import HRNet, merge_all_res, _resize_bilinear
@@ -50,16 +50,48 @@ FP_MLPS = ((128, 128), (256, 256), (512, 512), (512, 512))
 
 class SharedMLP(nn.Module):
     """Dense+BN+ReLU stack over the channel (last) axis — the 1x1-conv
-    'SharedMLP' of pytorch_utils.py."""
+    'SharedMLP' of pytorch_utils.py.
+
+    Project-then-group mode (gidx given): x is the per-point TABLE
+    (B, N, Cc) = concat(xyz, feats) and the first Dense commutes with the
+    neighbor gather,
+
+        W^T @ (concat(xyz[k] - center_m, feats[k]))
+          = (table @ W)[k] - (concat(center_m, 0) @ W),
+
+    so layer 0 runs on the N table rows (48x fewer rows than the M*S
+    grouped positions at the reference SA-MSG shapes) and the gather moves
+    F0-wide projected rows instead of (3+C)-wide raw rows — in particular
+    the level-0 xyz gather widens from 12-byte rows (1 GB/s effective on
+    TPU HBM, tools/microbench_qgroup.py) to F0*4 bytes.  BN then sees the
+    identical values it would have seen post-group, so the math (incl.
+    sync-BN statistics) is unchanged — pinned by
+    tests/test_pointnet2_model.py::test_project_then_group_equivalence."""
 
     features: Sequence[int]
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, train: bool):
+    def __call__(self, x, train: bool, gidx=None, center=None):
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, use_bias=False, dtype=self.dtype,
-                         name=f"dense{i}")(x)
+            dense = nn.Dense(f, use_bias=False, dtype=self.dtype,
+                             name=f"dense{i}")
+            if i == 0 and gidx is not None:
+                p = dense(x)  # (B, N, F0) projected table
+                b, m, s = gidx.shape
+                h = jnp.take_along_axis(
+                    p, gidx.reshape(b, m * s, 1).astype(jnp.int32),
+                    axis=1).reshape(b, m, s, f)
+                if center is not None:
+                    # centering contribution: concat(center, 0) @ W
+                    cpad = jnp.concatenate(
+                        [center, jnp.zeros(center.shape[:-1]
+                                           + (x.shape[-1] - 3,), x.dtype)],
+                        axis=-1)
+                    h = h - dense(cpad)[:, :, None, :]
+                x = h
+            else:
+                x = dense(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
                              name=f"bn{i}")(x)
@@ -81,21 +113,32 @@ class SAModuleMSG(nn.Module):
     @nn.compact
     def __call__(self, xyz, features, train: bool):
         # xyz: (B, N, 3); features: (B, N, C) or None
-        idx = furthest_point_sample(xyz, self.npoint, impl=self.point_impl)
+        # allow_identity: SA consumers (gather + per-row grouping/MLPs +
+        # coordinate-based 3-NN interpolation) are permutation-equivariant,
+        # so the npoint==n case (SA0) can skip the O(N^2) FPS pass.
+        idx = furthest_point_sample(xyz, self.npoint, impl=self.point_impl,
+                                    allow_identity=True)
         new_xyz = gather_points(xyz, idx)  # (B, M, 3)
 
+        # project-then-group: the MLP's first Dense commutes with the
+        # neighbor gather (see SharedMLP docstring), so layer 0 runs once
+        # on the N-point table and only F0-wide projected rows are gathered
+        if features is None:
+            table = xyz.astype(jnp.float32)
+            center = new_xyz
+        elif self.use_xyz:
+            table = jnp.concatenate(
+                [xyz.astype(features.dtype), features], axis=-1)
+            center = new_xyz
+        else:
+            table = features  # QueryAndGroup use_xyz=False: features only
+            center = None
         outs = []
         for i, (r, s) in enumerate(zip(self.radii, self.nsamples)):
             gidx = ball_query(xyz, new_xyz, r, s, impl=self.point_impl)
-            grouped_xyz = group_points(xyz, gidx) - new_xyz[:, :, None, :]
-            if features is not None:
-                grouped = group_points(features, gidx)
-                if self.use_xyz:
-                    grouped = jnp.concatenate([grouped_xyz, grouped], -1)
-            else:
-                grouped = grouped_xyz
             h = SharedMLP(self.mlps[i], dtype=self.dtype,
-                          name=f"mlp{i}")(grouped, train)
+                          name=f"mlp{i}")(table, train, gidx=gidx,
+                                          center=center)
             outs.append(jnp.max(h, axis=2))  # max over the sample axis
         return new_xyz, jnp.concatenate(outs, axis=-1)
 

@@ -61,15 +61,21 @@ def _sq_dists_exact(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def furthest_point_sample(xyz: jnp.ndarray, npoint: int,
-                          impl: str = "xla") -> jnp.ndarray:
+                          impl: str = "xla",
+                          allow_identity: bool = False) -> jnp.ndarray:
     """(B, N, 3) -> (B, npoint) int32 indices.
 
     Iteration j picks argmax_k min_{picked} d2(k, picked), seeded with index
     0 and running min-distance state (temp buffer init 1e10, the wrapper's
     `torch.cuda.FloatTensor(B,N).fill_(1e10)`, pointnet2_utils.py:23-30).
+
+    allow_identity: opt-in npoint==n shortcut that returns indices in INPUT
+    order rather than FPS visit order (and bypasses impl='pallas').  Safe
+    only for permutation-equivariant consumers — a caller taking the first
+    m entries of the result as an FPS subset must keep this False.
     """
     b, n, _ = xyz.shape
-    if npoint == n:
+    if allow_identity and npoint == n:
         # FPS of ALL points selects the full set in FPS visit order; every
         # downstream consumer (gather of coords+feats by the same idx, then
         # per-row ball-query/grouping/MLPs, finally coordinate-based 3-NN
@@ -169,6 +175,34 @@ def group_points(points: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     flat = idx.reshape(b, m * s).astype(jnp.int32)
     out = jnp.take_along_axis(points, flat[..., None], axis=1)
     return out.reshape(b, m, s, points.shape[-1])
+
+
+def query_and_group(xyz: jnp.ndarray, new_xyz: jnp.ndarray,
+                    feats: jnp.ndarray, radius: float, nsample: int,
+                    impl: str = "xla") -> jnp.ndarray:
+    """(B, N, 3), (B, M, 3), (B, N, C)|None -> (B, M, nsample, 3+C):
+    ball-query (CUDA first-hit-fill) + grouped gather from ONE combined
+    table, grouped xyz centred on the centroid, concat with grouped
+    features (`QueryAndGroup` use_xyz=True, pointnet2_utils.py:231-290).
+
+    The single (3+C)-wide table gather replaces separate xyz (12-byte
+    rows, ~1 GB/s effective on TPU HBM) and feature gathers
+    (tools/microbench_qgroup.py).  A fully-fused Pallas version was
+    prototyped and REJECTED: Mosaic has no dynamic row-gather lowering
+    (take_along_axis inside a kernel fails to compile), and the exact
+    one-hot-matmul substitute costs ~6x the gather's bytes in fp32 MXU
+    passes.  The production path goes further and removes the wide gather
+    algebraically — see models/pointnet2_model.py::SharedMLP
+    project-then-group."""
+    gidx = ball_query(xyz, new_xyz, radius, nsample, impl=impl)
+    if feats is None:
+        table = xyz
+    else:
+        table = jnp.concatenate([xyz.astype(feats.dtype), feats], axis=-1)
+    grouped = group_points(table, gidx)
+    centered = grouped[..., :3] - new_xyz[:, :, None, :].astype(
+        grouped.dtype)
+    return jnp.concatenate([centered, grouped[..., 3:]], axis=-1)
 
 
 # ---------------------------------------------------------------------------

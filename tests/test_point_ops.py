@@ -9,7 +9,7 @@ import pytest
 
 from hcmoco_tpu.ops.point_ops import (
     furthest_point_sample, ball_query, gather_points, group_points,
-    three_nn, three_interpolate, interpolation_weights,
+    query_and_group, three_nn, three_interpolate, interpolation_weights,
 )
 
 
@@ -81,6 +81,19 @@ class TestFPS:
         idx = np.asarray(furthest_point_sample(jnp.asarray(cloud[:1]), 128))
         assert sorted(idx[0].tolist()) == list(range(128))
 
+    def test_npoint_equals_n_default_is_fps_order(self, cloud):
+        # without the opt-in, npoint==n still returns the true FPS visit
+        # order (a caller may take the first m entries as an FPS subset)
+        got = np.asarray(furthest_point_sample(jnp.asarray(cloud[:1]), 128))
+        want = np_fps(cloud[:1], 128)
+        np.testing.assert_array_equal(got, want)
+
+    def test_npoint_equals_n_identity_optin(self, cloud):
+        got = np.asarray(furthest_point_sample(
+            jnp.asarray(cloud), 128, allow_identity=True))
+        np.testing.assert_array_equal(
+            got, np.broadcast_to(np.arange(128, dtype=np.int32), (2, 128)))
+
 
 class TestBallQuery:
     @pytest.mark.parametrize("impl", ["xla", "pallas"])
@@ -123,6 +136,58 @@ class TestGathers:
         # every group element points at index 0 -> grad accumulates there
         assert float(g[0, 0, 0]) == pytest.approx(8.0)
         assert float(g[0, 1, 0]) == 0.0
+
+
+class TestQueryAndGroup:
+    """Combined-table ball-query+group vs the brute-force CUDA-semantics
+    model + manual center/concat (QueryAndGroup use_xyz=True,
+    pointnet2_utils.py:231-290)."""
+
+    def _reference(self, cloud, centroids, feats, radius, nsample):
+        gidx = np_ball_query(cloud, centroids, radius, nsample)
+        out = []
+        for bi in range(cloud.shape[0]):
+            gx = cloud[bi][gidx[bi]] - centroids[bi][:, None, :]
+            if feats is None:
+                out.append(gx)
+            else:
+                out.append(np.concatenate([gx, feats[bi][gidx[bi]]], -1))
+        return np.stack(out)
+
+    @pytest.mark.parametrize("with_feats", [False, True])
+    def test_matches_bruteforce(self, cloud, with_feats):
+        rng = np.random.default_rng(7)
+        feats = (rng.standard_normal((2, 128, 20)).astype(np.float32)
+                 if with_feats else None)
+        centroids = cloud[:, :40]
+        got = np.asarray(query_and_group(
+            jnp.asarray(cloud), jnp.asarray(centroids),
+            None if feats is None else jnp.asarray(feats), 0.5, 8))
+        want = self._reference(cloud, centroids, feats, 0.5, 8)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_feature_grad_is_scatter_add(self, cloud):
+        rng = np.random.default_rng(8)
+        feats = jnp.asarray(rng.standard_normal((2, 128, 20)),
+                            jnp.float32)
+        centroids = jnp.asarray(cloud[:, :16])
+
+        def f(ft):
+            return (query_and_group(jnp.asarray(cloud), centroids, ft,
+                                    0.5, 8) ** 2).sum()
+
+        g = np.asarray(jax.grad(f)(feats))
+        # dense-path reference: grad of sum of squares of gathered rows =
+        # 2 * scatter-add of gathered values
+        gidx = np_ball_query(np.asarray(cloud), np.asarray(centroids),
+                             0.5, 8)
+        want = np.zeros_like(np.asarray(feats))
+        for bi in range(2):
+            for mi in range(gidx.shape[1]):
+                for si in range(8):
+                    k = gidx[bi, mi, si]
+                    want[bi, k] += 2 * np.asarray(feats)[bi, k]
+        np.testing.assert_allclose(g, want, rtol=1e-4, atol=1e-5)
 
 
 class TestThreeNN:

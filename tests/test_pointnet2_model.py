@@ -34,6 +34,33 @@ class TestPointnet2MSG:
         assert {f"fp{k}" for k in range(4)} <= names
 
 
+class TestProjectThenGroup:
+    def test_project_then_group_equivalence(self):
+        """SharedMLP's project-then-group rewrite (layer-0 Dense commutes
+        with the neighbor gather) must equal the naive group-then-project
+        path: W^T concat(xyz[k]-c, f[k]) == (table@W)[k] - concat(c,0)@W."""
+        from hcmoco_tpu.models.pointnet2_model import SharedMLP
+        from hcmoco_tpu.ops.point_ops import ball_query, query_and_group
+
+        rng = np.random.default_rng(3)
+        xyz = jnp.asarray(rng.standard_normal((2, 64, 3)), jnp.float32)
+        feats = jnp.asarray(rng.standard_normal((2, 64, 10)), jnp.float32)
+        new_xyz = xyz[:, :16]
+        mlp = SharedMLP((8, 12))
+        gidx = ball_query(xyz, new_xyz, 0.8, 4)
+        table = jnp.concatenate([xyz, feats], axis=-1)
+        v = mlp.init(jax.random.PRNGKey(0), table, train=False,
+                     gidx=gidx, center=new_xyz)
+
+        fast, _ = mlp.apply(v, table, train=True, gidx=gidx,
+                            center=new_xyz, mutable=["batch_stats"])
+        grouped = query_and_group(xyz, new_xyz, feats, 0.8, 4)
+        naive, _ = mlp.apply(v, grouped, train=True,
+                             mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(naive),
+                                   rtol=1e-4, atol=1e-5)
+
+
 class TestDepthBackprojection:
     def test_depth2pts_world_coords(self):
         b, s = 2, 8
@@ -74,6 +101,47 @@ class TestDepthBackprojection:
 
 
 class TestHRNetPNTrainStep:
+    @pytest.mark.slow
+    def test_sharded_matches_single_device(self):
+        """VERDICT round-2 item 5: the PN stage-2 step on the 8-device CPU
+        mesh (XLA point-op fallbacks) must equal the single-device step —
+        same loss, same banks.  Covers the §2.9 collectives under the
+        second flagship (reference build_backbone.py:305-514)."""
+        from hcmoco_tpu.parallel.mesh import (
+            make_mesh, shard_batch, replicated_sharding)
+
+        jax.config.update("jax_enable_compilation_cache", False)
+        try:
+            cfg = TrainConfig(
+                modal="RGBD2S", arch="HRNetPN", width=4,
+                mem="bank+jointspri3d", linear_feat_map=True,
+                pri3d_num_samples_per_image=8, nce_k=15, batch_size=8,
+                epochs=2, modality_missing=True, compute_dtype="float32",
+                pn_num_points=32,
+            )
+            model = build_model(cfg)
+            batch = synthetic_contrast_batch(
+                np.random.default_rng(0), 8, size=32, num_joints=16,
+                n_data=64)
+            state = create_train_state(cfg, model, jax.random.PRNGKey(0),
+                                       batch, n_data=64, steps_per_epoch=2)
+            step = make_contrast_train_step(cfg, model, steps_per_epoch=2)
+            s1, m1 = step(state, batch, jax.random.PRNGKey(3))
+
+            mesh = make_mesh()
+            sharded = shard_batch(batch, mesh)
+            state_sh = jax.device_put(state, replicated_sharding(mesh))
+            step_m = make_contrast_train_step(cfg, model, steps_per_epoch=2,
+                                              scl_groups=1, mesh=mesh)
+            s2, m2 = step_m(state_sh, sharded, jax.random.PRNGKey(3))
+            np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                       rtol=2e-3)
+            np.testing.assert_allclose(np.asarray(s1.memory.banks),
+                                       np.asarray(s2.memory.banks),
+                                       rtol=2e-3, atol=1e-5)
+        finally:
+            jax.config.update("jax_enable_compilation_cache", True)
+
     def test_full_stage2_step(self):
         cfg = TrainConfig(
             modal="RGBD2S", arch="HRNetPN", width=4,
