@@ -53,6 +53,7 @@ def main():
         nce_k=16384, modality_missing=True, crop_size=320,
         compute_dtype="bfloat16",
         pair_encoders=os.environ.get("BENCH_PAIR", "0") == "1",
+        channel_pad=int(os.environ.get("BENCH_CHANNEL_PAD", "0")),
         remat=os.environ.get("BENCH_REMAT", "0") == "1",
     ))
     model = build_model(cfg)

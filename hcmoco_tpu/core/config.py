@@ -181,6 +181,9 @@ class TrainConfig:
     # run the RGB+depth encoders as one vmapped program (grouped convs,
     # halved op count — TPU perf flag; params gain a leading [2] axis)
     pair_encoders: bool = False
+    # MFU experiment: round every HRNet conv width up to a multiple of
+    # this (zero-masked padded channels; real-channel math unchanged)
+    channel_pad: int = 0
     beta: float = 0.5  # PIRL jigsaw-vs-instance weight (train_options.py)
 
     # optimization

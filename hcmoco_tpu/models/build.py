@@ -64,6 +64,7 @@ class HCMoCoModel(nn.Module):
     skeleton_meta: str = "mpii"
     sgcn_dim: int = 128
     pair_encoders: bool = False
+    channel_pad: int = 0  # MFU experiment: lane-friendly padded widths
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -91,8 +92,10 @@ class HCMoCoModel(nn.Module):
             fm1 = [m[0] for m in fm12]
             fm2 = [m[1] for m in fm12]
         else:
-            fm1 = HRNet(hr_cfg, dtype=self.dtype, name="encoder1")(x1, train)
-            fm2 = HRNet(hr_cfg, dtype=self.dtype, name="encoder2")(x2, train)
+            fm1 = HRNet(hr_cfg, dtype=self.dtype, pad_to=self.channel_pad,
+                        name="encoder1")(x1, train)
+            fm2 = HRNet(hr_cfg, dtype=self.dtype, pad_to=self.channel_pad,
+                        name="encoder2")(x2, train)
         fj = SemGCN(self.sgcn_dim, 4, self.skeleton_meta,
                     name="encoder3")(skeleton, train)
 
@@ -235,6 +238,7 @@ def build_model(cfg: TrainConfig) -> nn.Module:
                 pool_method=cfg.pool_method,
                 skeleton_meta=cfg.skeleton_meta_name,
                 pair_encoders=cfg.pair_encoders,
+                channel_pad=cfg.channel_pad,
                 dtype=dtype,
             )
         if cfg.arch == "HRNetPN":

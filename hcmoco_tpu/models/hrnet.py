@@ -43,11 +43,20 @@ class ConvBN(nn.Module):
     use_relu: bool = False
     bn_momentum: float = 0.99
     dtype: Dtype = jnp.bfloat16
+    # MFU experiment (PERF.md round 3): round the conv width up to a
+    # multiple of pad_to, with the padded channels zero-masked after
+    # BN/ReLU so the real-channel math is unchanged.  Tests whether the
+    # measured BN-reduction slowdown (batch-minormost layouts XLA picks
+    # for thin-channel convs) lifts when channel counts are lane-friendly.
+    pad_to: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool):
+        feats = self.features
+        if self.pad_to:
+            feats = -(-feats // self.pad_to) * self.pad_to
         x = nn.Conv(
-            self.features,
+            feats,
             (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
             padding=[(self.kernel // 2, self.kernel // 2)] * 2,
@@ -71,6 +80,11 @@ class ConvBN(nn.Module):
         )(x)
         if self.use_relu:
             x = nn.relu(x)
+        if feats != self.features:
+            mask = jnp.concatenate([
+                jnp.ones((self.features,), x.dtype),
+                jnp.zeros((feats - self.features,), x.dtype)])
+            x = x * mask
         return x
 
 
@@ -82,17 +96,18 @@ class BasicBlock(nn.Module):
     downsample: bool = False
     bn_momentum: float = 0.99
     dtype: Dtype = jnp.bfloat16
+    pad_to: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool):
         residual = x
         out = ConvBN(self.features, 3, self.stride, True, self.bn_momentum,
-                     self.dtype, name="cb1")(x, train)
+                     self.dtype, self.pad_to, name="cb1")(x, train)
         out = ConvBN(self.features, 3, 1, False, self.bn_momentum,
-                     self.dtype, name="cb2")(out, train)
+                     self.dtype, self.pad_to, name="cb2")(out, train)
         if self.downsample:
             residual = ConvBN(self.features, 1, self.stride, False,
-                              self.bn_momentum, self.dtype,
+                              self.bn_momentum, self.dtype, self.pad_to,
                               name="downsample")(x, train)
         return nn.relu(out + residual)
 
@@ -106,20 +121,22 @@ class Bottleneck(nn.Module):
     bn_momentum: float = 0.99
     dtype: Dtype = jnp.bfloat16
     expansion: int = 4
+    pad_to: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool):
         residual = x
         out = ConvBN(self.features, 1, 1, True, self.bn_momentum,
-                     self.dtype, name="cb1")(x, train)
+                     self.dtype, self.pad_to, name="cb1")(x, train)
         out = ConvBN(self.features, 3, self.stride, True, self.bn_momentum,
-                     self.dtype, name="cb2")(out, train)
+                     self.dtype, self.pad_to, name="cb2")(out, train)
         out = ConvBN(self.features * self.expansion, 1, 1, False,
-                     self.bn_momentum, self.dtype, name="cb3")(out, train)
+                     self.bn_momentum, self.dtype, self.pad_to,
+                     name="cb3")(out, train)
         if self.downsample:
             residual = ConvBN(self.features * self.expansion, 1, self.stride,
                               False, self.bn_momentum, self.dtype,
-                              name="downsample")(x, train)
+                              self.pad_to, name="downsample")(x, train)
         return nn.relu(out + residual)
 
 
@@ -139,6 +156,7 @@ class HRModule(nn.Module):
     multi_scale_output: bool = True
     bn_momentum: float = 0.99
     dtype: Dtype = jnp.bfloat16
+    pad_to: int = 0
 
     @nn.compact
     def __call__(self, xs: Sequence[jnp.ndarray], train: bool):
@@ -158,6 +176,7 @@ class HRModule(nn.Module):
                     downsample=need_ds,
                     bn_momentum=self.bn_momentum,
                     dtype=self.dtype,
+                    pad_to=self.pad_to,
                     name=f"branch{i}_block{b}",
                 )(x, train)
             ys.append(x)
@@ -176,7 +195,8 @@ class HRModule(nn.Module):
                     continue
                 if j > i:
                     t = ConvBN(out_ch[i], 1, 1, False, self.bn_momentum,
-                               self.dtype, name=f"fuse{i}_{j}")(ys[j], train)
+                               self.dtype, self.pad_to,
+                               name=f"fuse{i}_{j}")(ys[j], train)
                     acc = acc + _resize_bilinear(t, h, w)
                 else:
                     t = ys[j]
@@ -185,7 +205,7 @@ class HRModule(nn.Module):
                         t = ConvBN(
                             out_ch[i] if last else out_ch[j],
                             3, 2, not last, self.bn_momentum, self.dtype,
-                            name=f"fuse{i}_{j}_{k}",
+                            self.pad_to, name=f"fuse{i}_{j}_{k}",
                         )(t, train)
                     acc = acc + t
             fused.append(nn.relu(acc))
@@ -197,17 +217,19 @@ class HRNet(nn.Module):
 
     config: HRNetConfig
     dtype: Dtype = jnp.bfloat16
+    pad_to: int = 0  # MFU experiment: lane-friendly zero-padded widths
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True):
         cfg = self.config
         bnm = cfg.bn_momentum
+        pad = self.pad_to
         x = x.astype(self.dtype)
 
         # stem: two stride-2 3x3 convs (official_hrnet.py:265-272)
-        x = ConvBN(cfg.stem_channels, 3, 2, True, bnm, self.dtype,
+        x = ConvBN(cfg.stem_channels, 3, 2, True, bnm, self.dtype, pad,
                    name="stem1")(x, train)
-        x = ConvBN(cfg.stem_channels, 3, 2, True, bnm, self.dtype,
+        x = ConvBN(cfg.stem_channels, 3, 2, True, bnm, self.dtype, pad,
                    name="stem2")(x, train)
 
         # stage 1: Bottleneck x4 at 64 -> 256 channels
@@ -217,7 +239,8 @@ class HRNet(nn.Module):
         for b in range(s1.num_blocks[0]):
             need_ds = b == 0 and x.shape[-1] != ch * expansion
             x = block_cls(ch, downsample=need_ds, bn_momentum=bnm,
-                          dtype=self.dtype, name=f"layer1_block{b}")(x, train)
+                          dtype=self.dtype, pad_to=pad,
+                          name=f"layer1_block{b}")(x, train)
         pre_channels = [ch * expansion]
 
         xs = [x]
@@ -230,7 +253,7 @@ class HRNet(nn.Module):
                 if i < len(pre_channels):
                     if pre_channels[i] != cur_channels[i]:
                         t = ConvBN(cur_channels[i], 3, 1, True, bnm,
-                                   self.dtype,
+                                   self.dtype, pad,
                                    name=f"transition{si - 1}_{i}")(xs[i], train)
                     else:
                         t = xs[i]
@@ -239,7 +262,7 @@ class HRNet(nn.Module):
                     for j in range(i + 1 - len(pre_channels)):
                         out = (cur_channels[i]
                                if j == i - len(pre_channels) else t.shape[-1])
-                        t = ConvBN(out, 3, 2, True, bnm, self.dtype,
+                        t = ConvBN(out, 3, 2, True, bnm, self.dtype, pad,
                                    name=f"transition{si - 1}_{i}_{j}")(t, train)
                 new_xs.append(t)
             xs = new_xs
@@ -247,7 +270,8 @@ class HRNet(nn.Module):
             for m in range(spec.num_modules):
                 xs = HRModule(
                     spec, in_ch, multi_scale_output=True, bn_momentum=bnm,
-                    dtype=self.dtype, name=f"stage{si}_module{m}",
+                    dtype=self.dtype, pad_to=pad,
+                    name=f"stage{si}_module{m}",
                 )(xs, train)
             pre_channels = cur_channels
 
