@@ -255,11 +255,14 @@ def _cmc3_logits_hybrid(feats: jnp.ndarray, banks: jnp.ndarray,
 
 
 def _cmc3_hybrid_fwd(feats, banks, idx):
-    return _cmc3_logits_hybrid(feats, banks, idx), (banks, idx, feats.dtype)
+    # zero-size dtype token: custom_vjp residuals must be JAX types
+    tok = jnp.zeros((0,), feats.dtype)
+    return _cmc3_logits_hybrid(feats, banks, idx), (banks, idx, tok)
 
 
 def _cmc3_hybrid_bwd(res, g, chunk: int = 1024):
-    banks, idx, feats_dtype = res
+    banks, idx, feats_tok = res
+    feats_dtype = feats_tok.dtype
     bsz, kp1 = idx.shape
     dim = banks.shape[-1]
     g = g.astype(jnp.float32)

@@ -108,6 +108,13 @@ class SAModuleMSG(nn.Module):
     mlps: Sequence[Sequence[int]]
     use_xyz: bool = True
     point_impl: str = "xla"
+    # remat the per-scale MLP: the (B, M, S, F) grouped intermediates are
+    # the largest tensors in the whole HRNetPN step (1 GB at sa0/bs64);
+    # max-over-S reduces them to (B, M, F) immediately, so recomputing the
+    # gather + elementwise in the backward from the small projected table
+    # trades cheap FLOPs for the dominant HBM residency (bs64 OOMed
+    # without this once project-then-group landed)
+    remat_mlp: bool = True
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -136,10 +143,16 @@ class SAModuleMSG(nn.Module):
         outs = []
         for i, (r, s) in enumerate(zip(self.radii, self.nsamples)):
             gidx = ball_query(xyz, new_xyz, r, s, impl=self.point_impl)
-            h = SharedMLP(self.mlps[i], dtype=self.dtype,
-                          name=f"mlp{i}")(table, train, gidx=gidx,
-                                          center=center)
-            outs.append(jnp.max(h, axis=2))  # max over the sample axis
+
+            def scale(mlp, table, gidx, center):
+                h = mlp(table, train, gidx=gidx, center=center)
+                return jnp.max(h, axis=2)  # max over the sample axis
+
+            if self.remat_mlp:
+                scale = nn.remat(scale, static_argnums=())
+            outs.append(scale(
+                SharedMLP(self.mlps[i], dtype=self.dtype, name=f"mlp{i}"),
+                table, gidx, center))
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
 

@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--out", default="/tmp/hcmoco_profile")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--arch", default="HRNet")
+    ap.add_argument("--channel_pad", type=int, default=0)
     args = ap.parse_args()
 
     import jax
@@ -49,6 +50,7 @@ def main():
         batch_size=batch_size, epochs=100, learning_rate=0.03, cosine=True,
         nce_k=16384, modality_missing=True, crop_size=320,
         compute_dtype="bfloat16", remat=args.remat,
+        channel_pad=args.channel_pad,
     ))
     model = build_model(cfg)
     rng = np.random.default_rng(0)
