@@ -54,6 +54,7 @@ def main():
         compute_dtype="bfloat16",
         pair_encoders=os.environ.get("BENCH_PAIR", "0") == "1",
         channel_pad=int(os.environ.get("BENCH_CHANNEL_PAD", "0")),
+        pn_remat=os.environ.get("BENCH_PN_REMAT", "0") == "1",
         remat=os.environ.get("BENCH_REMAT", "0") == "1",
     ))
     model = build_model(cfg)

@@ -184,6 +184,9 @@ class TrainConfig:
     # MFU experiment: round every HRNet conv width up to a multiple of
     # this (zero-masked padded channels; real-channel math unchanged)
     channel_pad: int = 0
+    # remat the PointNet++ SA MLPs (recompute grouped intermediates in the
+    # backward; measured slower than bf16 at bs64 -- PERF.md round 3)
+    pn_remat: bool = False
     beta: float = 0.5  # PIRL jigsaw-vs-instance weight (train_options.py)
 
     # optimization

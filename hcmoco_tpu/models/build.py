@@ -257,6 +257,7 @@ def build_model(cfg: TrainConfig) -> nn.Module:
                 pool_method=cfg.pool_method,
                 skeleton_meta=cfg.skeleton_meta_name,
                 n_points=cfg.pn_num_points,
+                pn_remat=cfg.pn_remat,
                 dtype=dtype,
             )
         raise NotImplementedError(f"arch {cfg.arch} for RGBD2S")

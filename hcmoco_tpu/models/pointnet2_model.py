@@ -109,12 +109,13 @@ class SAModuleMSG(nn.Module):
     use_xyz: bool = True
     point_impl: str = "xla"
     # remat the per-scale MLP: the (B, M, S, F) grouped intermediates are
-    # the largest tensors in the whole HRNetPN step (1 GB at sa0/bs64);
-    # max-over-S reduces them to (B, M, F) immediately, so recomputing the
-    # gather + elementwise in the backward from the small projected table
-    # trades cheap FLOPs for the dominant HBM residency (bs64 OOMed
-    # without this once project-then-group landed)
-    remat_mlp: bool = True
+    # the largest tensors in the whole HRNetPN step (1 GB at sa0/bs64
+    # fp32); max-over-S reduces them to (B, M, F) immediately, so
+    # recomputing gather + MLP in the backward trades FLOPs for the
+    # dominant HBM residency.  Measured on TPU: full remat cost more than
+    # it saved (50 vs 69 samples/s) — bf16 MLPs restore the fit without
+    # it, so default OFF (bench knob BENCH_PN_REMAT).
+    remat_mlp: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -181,6 +182,11 @@ class Pointnet2MSG(nn.Module):
     input_channels: int = 0
     npoints: Tuple[int, ...] = NPOINTS  # override for small-scale tests
     point_impl: str = "xla"
+    # SA levels whose MLPs remat (footprint/recompute ratio is high only
+    # for the early levels: sa0/sa1 carry the GB-scale grouped tensors but
+    # 16-128-wide MLPs; sa2/sa3 recompute cost 256-512-wide matmuls for
+    # little memory -- full remat measured 50 vs 69 samples/s at bs64)
+    remat_levels: Tuple[int, ...] = ()
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -193,7 +199,8 @@ class Pointnet2MSG(nn.Module):
             sa = SAModuleMSG(
                 npoint=self.npoints[k], radii=RADIUS[k],
                 nsamples=NSAMPLE[k],
-                mlps=MLPS[k], point_impl=self.point_impl, dtype=self.dtype,
+                mlps=MLPS[k], point_impl=self.point_impl,
+                remat_mlp=k in self.remat_levels, dtype=self.dtype,
                 name=f"sa{k}")
             nx, nf = sa(l_xyz[k], l_feats[k], train)
             l_xyz.append(nx)
@@ -277,6 +284,7 @@ class HCMoCoPNModel(nn.Module):
     pn_dim: int = 128
     n_points: int = 4096
     point_impl: str = "xla"
+    pn_remat: bool = False
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
@@ -295,8 +303,13 @@ class HCMoCoPNModel(nn.Module):
             self.n_points)
         npoints = tuple(max(self.n_points // (4 ** k), 1)
                         for k in range(4))
+        # MLPs run in the model compute dtype (bf16 on TPU: the grouped
+        # (B, M, S, F) intermediates are the largest tensors in the step);
+        # the geometry ops (FPS/ball-query/3-NN) stay fp32 inside
+        # ops/point_ops regardless
         pn = Pointnet2MSG(npoints=npoints, point_impl=self.point_impl,
-                          dtype=jnp.float32, name="encoder2")
+                          remat_levels=(0, 1) if self.pn_remat else (),
+                          dtype=self.dtype, name="encoder2")
         fm2 = pn(sampled, train)  # (B, n_points, 128)
 
         fj = SemGCN(self.sgcn_dim, 4, self.skeleton_meta,
@@ -309,7 +322,7 @@ class HCMoCoPNModel(nn.Module):
                           if self.pool_method == "mean"
                           else jnp.max(f32, axis=(1, 2)))
         pooled1 = jnp.concatenate(pooled, axis=-1)
-        pooled2 = jnp.mean(fm2, axis=1)
+        pooled2 = jnp.mean(fm2.astype(jnp.float32), axis=1)
         pooled3 = jnp.mean(fj.astype(jnp.float32), axis=1)
 
         out = {"pooled1": pooled1, "pooled2": pooled2, "pooled3": pooled3}
@@ -329,8 +342,9 @@ class HCMoCoPNModel(nn.Module):
                 out["merge1"] = merge1
                 out["linear_merge1"] = lin1(merge1).astype(jnp.float32)
                 # encoder2_linear is Conv1d+BN+ReLU (build_backbone.py:368)
-                lm2 = SharedMLP((self.sgcn_dim,), dtype=jnp.float32,
+                lm2 = SharedMLP((self.sgcn_dim,), dtype=self.dtype,
                                 name="encoder2_linear")(fm2, train)
+                lm2 = lm2.astype(jnp.float32)
                 h, w = rgbd.shape[1], rgbd.shape[2]
                 lm2 = pts2depth(sampled, all_pts, lm2, h, w,
                                 point_impl=self.point_impl)
