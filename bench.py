@@ -36,6 +36,16 @@ def main():
 
     import os
 
+    # MFU experiment (PERF.md): BN batch stats as MXU matvecs instead of
+    # cross-lane reduces; 1 = forward dots, 2 = + custom-VJP backward dots.
+    # The flag is read by ConvBN at trace time.
+    if os.environ.get("BENCH_BN_MATMUL", "0") != "0":
+        os.environ["HCMOCO_BN_MATMUL"] = os.environ["BENCH_BN_MATMUL"]
+    # MFU experiment (PERF.md): force C-minormost activation layouts to
+    # measure the BN-vs-conv layout tradeoff end-to-end.
+    if os.environ.get("BENCH_CMINOR", "0") == "1":
+        os.environ["HCMOCO_CMINOR"] = "1"
+
     n_chips = len(jax.devices())
     # measured sweep on v5e-16GB with the counts-mode NCE (PERF.md):
     # 321/s @112, 354/s @128; 128/chip fits without remat.

@@ -15,6 +15,8 @@ matching torch's default `F.interpolate(mode='bilinear')`).
 
 from __future__ import annotations
 
+import functools
+import os
 from typing import Any, Sequence, Tuple
 
 import jax
@@ -24,6 +26,149 @@ from flax import linen as nn
 from ..core.config import HRNetConfig, HRNetStageSpec
 
 Dtype = Any
+
+
+def _bn_dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """ones-free channel sum: contract (R,) x (R, C) -> (C,) on the MXU."""
+    return jax.lax.dot_general(a, b, (((0,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _bn_train_apply(x, scale, bias, eps):
+    """Train-mode BN with BOTH directions' channel reductions as dots.
+
+    Returns (y_f32, mean, var).  The forward sums (ones@x, ones@x*x) and
+    the backward sums (ones@dy, ones@dy*xhat) are lax.dot_generals so XLA
+    schedules all four on the MXU; everything else is elementwise and
+    fuses.  Semantics match flax nn.BatchNorm fast-variance exactly.
+    """
+    out, _ = _bn_train_fwd(x, scale, bias, eps)
+    return out
+
+
+def _bn_train_fwd(x, scale, bias, eps):
+    c = x.shape[-1]
+    xf = x.astype(jnp.float32).reshape(-1, c)
+    r_rows = xf.shape[0]
+    ones = jnp.ones((r_rows,), jnp.float32)
+    s1 = _bn_dot(ones, xf)
+    s2 = _bn_dot(ones, xf * xf)
+    mean = s1 / r_rows
+    var = jnp.maximum(0.0, s2 / r_rows - mean * mean)
+    rstd = jax.lax.rsqrt(var + eps)
+    y = ((x.astype(jnp.float32) - mean) * (rstd * scale) + bias)
+    return (y, mean, var), (x, mean, rstd, scale)
+
+
+def _bn_train_bwd(eps, res, cts):
+    x, mean, rstd, scale = res
+    dy, dmean_ct, dvar_ct = cts
+    c = x.shape[-1]
+    xf = x.astype(jnp.float32).reshape(-1, c)
+    dyf = dy.astype(jnp.float32).reshape(-1, c)
+    r_rows = xf.shape[0]
+    ones = jnp.ones((r_rows,), jnp.float32)
+    xhat = (xf - mean) * rstd
+    dbias = _bn_dot(ones, dyf)
+    dscale = _bn_dot(ones, dyf * xhat)
+    # dx = rstd*scale*(dy - dbias/R - xhat*dscale/R)
+    #      + dmean_ct/R + dvar_ct*2*(x-mean)/R   (mean/var side outputs)
+    g = rstd * scale
+    dxf = (g * dyf - (g * dbias / r_rows)
+           - xhat * (g * dscale / r_rows)
+           + dmean_ct / r_rows
+           + (2.0 / r_rows) * dvar_ct * (xf - mean))
+    dx = dxf.reshape(x.shape).astype(x.dtype)
+    return dx, dscale, dbias
+
+
+_bn_train_apply.defvjp(_bn_train_fwd, _bn_train_bwd)
+
+
+class MatmulBN(nn.Module):
+    """BatchNorm whose batch statistics are MXU matvecs, not reduces.
+
+    Math and variable layout are identical to
+    ``nn.BatchNorm(use_fast_variance=True, force_float32_reductions=True)``
+    over NHWC with feature axis -1 (params ``scale``/``bias``, batch_stats
+    ``mean``/``var`` — checkpoints interchange freely).  The difference is
+    purely how the sums over (N, H, W) are expressed: as
+    ``ones @ x`` / ``ones @ x*x`` dot_generals so XLA schedules them on the
+    MXU.  Motivation (PERF.md "Where the remaining time goes"): under the
+    batch-minormost layouts XLA picks for the thin-channel HRNet convs, the
+    in-context BN stat reduce runs at ~55 GB/s (cross-lane work) while the
+    identical reduction in isolation hits 291-331 GB/s; dot operands are
+    read on the native tiled path.  Enabled via HCMOCO_BN_MATMUL=1
+    (BENCH_BN_MATMUL=1 in bench.py) — an MFU experiment, default off.
+    """
+
+    momentum: float = 0.99
+    epsilon: float = 1e-5
+    # also route the BACKWARD channel reductions (ones@dy, ones@dy*xhat)
+    # through dots via _bn_train_apply's custom VJP (HCMOCO_BN_MATMUL=2)
+    custom_vjp: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = False):
+        c = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (c,))
+        ra_var = self.variable(
+            "batch_stats", "var", lambda s: jnp.ones(s, jnp.float32), (c,))
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+            mul = jax.lax.rsqrt(var + self.epsilon) * scale
+            y = (x - mean) * mul + bias
+            return y.astype(self.dtype)
+        if self.custom_vjp:
+            y, mean, var = _bn_train_apply(x, scale, bias, self.epsilon)
+        else:
+            xf = x.astype(jnp.float32).reshape(-1, c)
+            n = xf.shape[0]
+            ones = jnp.ones((n,), jnp.float32)
+            s1 = _bn_dot(ones, xf)
+            s2 = _bn_dot(ones, xf * xf)
+            mean = s1 / n
+            var = jnp.maximum(0.0, s2 / n - mean * mean)
+            mul = jax.lax.rsqrt(var + self.epsilon) * scale
+            y = (x - mean) * mul + bias
+        if not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = m * ra_mean.value + (1 - m) * mean
+            ra_var.value = m * ra_var.value + (1 - m) * var
+        return y.astype(self.dtype)
+
+
+def _bn_matmul_mode() -> int:
+    """0 = flax reduce BN; 1 = dot-stats forward (autodiff backward);
+    2 = dot-stats forward + custom-VJP dot backward."""
+    try:
+        return int(os.environ.get("HCMOCO_BN_MATMUL", "0"))
+    except ValueError:
+        return 0
+
+
+def _cminor_enabled() -> bool:
+    return os.environ.get("HCMOCO_CMINOR", "0") == "1"
+
+
+def _constrain_cminor(x: jnp.ndarray) -> jnp.ndarray:
+    """Pin a NHWC activation to a row-major (C-minormost) device layout.
+
+    MFU experiment (PERF.md): XLA lays the big HRNet activations out
+    batch-minormost (batch in the 128-lane dim) — optimal for the
+    thin-channel convs but it turns every over-(N,H,W) BN stat reduction
+    into cross-lane work measured at ~55 GB/s.  This forces the
+    C-in-lanes layout end-to-end so the coupled tradeoff (faster BN vs
+    slower convs) can be MEASURED instead of inferred.  HCMOCO_CMINOR=1.
+    """
+    from jax.experimental.layout import Layout, with_layout_constraint
+    return with_layout_constraint(
+        x, Layout(major_to_minor=tuple(range(x.ndim))))
 
 
 def _resize_bilinear(x: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
@@ -70,14 +215,23 @@ class ConvBN(nn.Module):
         # any convolution (cf. CLAUDE.md round-1: full remat recompute lost)
         from jax.ad_checkpoint import checkpoint_name
 
+        if _cminor_enabled():
+            x = _constrain_cminor(x)
         x = checkpoint_name(x, "conv_out")
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=self.bn_momentum,
-            epsilon=1e-5,
-            dtype=self.dtype,
-            name="bn",
-        )(x)
+        mode = _bn_matmul_mode()
+        if mode:
+            x = MatmulBN(momentum=self.bn_momentum, epsilon=1e-5,
+                         custom_vjp=mode >= 2,
+                         dtype=self.dtype, name="bn")(
+                             x, use_running_average=not train)
+        else:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=self.bn_momentum,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                name="bn",
+            )(x)
         if self.use_relu:
             x = nn.relu(x)
         if feats != self.features:

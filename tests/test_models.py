@@ -151,6 +151,74 @@ class TestHCMoCoModel:
         assert any(not np.allclose(b, a) for b, a in zip(before, after))
 
 
+class TestMatmulBN:
+    """MatmulBN (MXU-matvec batch stats, PERF.md MFU experiment) must be a
+    drop-in for nn.BatchNorm: same variable names, same math to rounding."""
+
+    def _both(self, train, custom_vjp=False):
+        from flax import linen as nn
+        from hcmoco_tpu.models.hrnet import MatmulBN
+
+        x = jax.random.normal(jax.random.PRNGKey(3), (4, 8, 8, 18),
+                              jnp.float32) * 2.0 + 0.5
+        ref = nn.BatchNorm(use_running_average=not train, momentum=0.99,
+                           epsilon=1e-5, dtype=jnp.float32)
+        mm = MatmulBN(momentum=0.99, epsilon=1e-5, custom_vjp=custom_vjp,
+                      dtype=jnp.float32)
+        v_ref = ref.init(jax.random.PRNGKey(0), x)
+        v_mm = mm.init(jax.random.PRNGKey(0), x,
+                       use_running_average=not train)
+        assert (jax.tree_util.tree_structure(v_ref)
+                == jax.tree_util.tree_structure(v_mm))
+        # non-trivial scale/bias/running stats so eval mode is exercised too
+        rng = np.random.default_rng(0)
+        v = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(
+                rng.uniform(0.5, 1.5, p.shape).astype(np.float32)), v_ref)
+        y_ref, m_ref = ref.apply(v, x, mutable=["batch_stats"])
+        y_mm, m_mm = mm.apply(v, x, use_running_average=not train,
+                              mutable=["batch_stats"])
+        return (x, v, ref, mm), (y_ref, m_ref), (y_mm, m_mm)
+
+    @pytest.mark.parametrize("custom_vjp", [False, True])
+    def test_train_mode_matches_flax(self, custom_vjp):
+        _, (y_ref, m_ref), (y_mm, m_mm) = self._both(train=True,
+                                                     custom_vjp=custom_vjp)
+        np.testing.assert_allclose(y_mm, y_ref, rtol=2e-5, atol=2e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(m_ref),
+                        jax.tree_util.tree_leaves(m_mm)):
+            np.testing.assert_allclose(b, a, rtol=2e-5, atol=2e-6)
+
+    def test_eval_mode_matches_flax(self):
+        _, (y_ref, _), (y_mm, _) = self._both(train=False)
+        np.testing.assert_allclose(y_mm, y_ref, rtol=2e-5, atol=2e-5)
+
+    @pytest.mark.parametrize("custom_vjp", [False, True])
+    def test_grads_match_flax(self, custom_vjp):
+        from flax import linen as nn
+        from hcmoco_tpu.models.hrnet import MatmulBN
+
+        x = jax.random.normal(jax.random.PRNGKey(5), (4, 8, 8, 18),
+                              jnp.float32)
+        ref = nn.BatchNorm(use_running_average=False, momentum=0.99,
+                           epsilon=1e-5, dtype=jnp.float32)
+        mm = MatmulBN(momentum=0.99, epsilon=1e-5, custom_vjp=custom_vjp,
+                      dtype=jnp.float32)
+        v = ref.init(jax.random.PRNGKey(0), x)
+
+        def loss(mod, params, xx):
+            y, _ = mod.apply({"params": params,
+                              "batch_stats": v["batch_stats"]}, xx,
+                             mutable=["batch_stats"])
+            return jnp.sum(y * y)
+
+        g_ref = jax.grad(loss, argnums=(1, 2))(ref, v["params"], x)
+        g_mm = jax.grad(loss, argnums=(1, 2))(mm, v["params"], x)
+        for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                        jax.tree_util.tree_leaves(g_mm)):
+            np.testing.assert_allclose(b, a, rtol=5e-4, atol=5e-5)
+
+
 class TestHeads:
     def test_l2_normalize(self):
         x = jnp.array([[3.0, 4.0]])

@@ -26,7 +26,11 @@ def main():
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--arch", default="HRNet")
     ap.add_argument("--channel_pad", type=int, default=0)
+    ap.add_argument("--bn_matmul", action="store_true",
+                    help="BN stats as MXU matvecs (HCMOCO_BN_MATMUL)")
     args = ap.parse_args()
+    if args.bn_matmul:
+        os.environ["HCMOCO_BN_MATMUL"] = "1"
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/hcmoco_jax_cache_tpu")
