@@ -14,6 +14,26 @@ from typing import Dict, Iterator
 import numpy as np
 
 
+def _smooth_field(rng: np.random.Generator, b: int, s: int,
+                  scale: int = 16) -> np.ndarray:
+    """Bilinear-upsampled low-res noise: a spatially smooth (b, s, s) field.
+
+    Real depth maps are piecewise smooth; white-noise depth makes the
+    HRNetPN ball-query neighborhoods degenerate (a radius-0.025..0.125 ball
+    around a point whose z is iid N(0,1) contains almost nothing), which
+    both misrepresents the PN workload and voids any gather-locality
+    behavior.  A smooth field gives NTU-like neighborhood occupancy."""
+    ls = max(s // scale, 2)
+    low = rng.standard_normal((b, ls, ls)).astype(np.float32)
+    xi = np.linspace(0.0, ls - 1.0, s, dtype=np.float32)
+    x0 = np.floor(xi).astype(np.int64)
+    x1 = np.minimum(x0 + 1, ls - 1)
+    wx = (xi - x0).astype(np.float32)
+    tmp = low[:, :, x0] * (1.0 - wx) + low[:, :, x1] * wx
+    return (tmp[:, x0, :] * (1.0 - wx)[None, :, None]
+            + tmp[:, x1, :] * wx[None, :, None])
+
+
 def synthetic_contrast_batch(
     rng: np.random.Generator,
     batch_size: int,
@@ -27,7 +47,10 @@ def synthetic_contrast_batch(
     use_depth = (rng.random(b) < depth_ratio).astype(np.int32)
     depth_mask = (rng.random((b, s, s)) > 0.4).astype(np.float32)
     depth_mask *= use_depth[:, None, None]
-    depth = rng.standard_normal((b, s, s), dtype=np.float32) * depth_mask
+    # mean-subtracted depth: smooth ~0.3 m body-scale relief + sensor noise
+    depth = (_smooth_field(rng, b, s) * 0.3
+             + rng.standard_normal((b, s, s)).astype(np.float32) * 0.01)
+    depth = depth * depth_mask
     rgbd = np.concatenate(
         [rgb, np.repeat(depth[..., None], 3, axis=-1)], axis=-1)
 

@@ -22,6 +22,7 @@ Point sampling randomness is threaded via the 'points' rng collection.
 
 from __future__ import annotations
 
+import os
 from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
@@ -33,7 +34,8 @@ from ..ops.point_ops import (
     furthest_point_sample, ball_query, gather_points,
     three_nn, three_interpolate, interpolation_weights,
 )
-from .hrnet import HRNet, merge_all_res, _resize_bilinear
+from .hrnet import (HRNet, MatmulBN, _bn_matmul_mode, merge_all_res,
+                    _resize_bilinear)
 from .sgcn import SemGCN
 from .heads import ProjectionHead
 
@@ -92,9 +94,15 @@ class SharedMLP(nn.Module):
                 x = h
             else:
                 x = dense(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, dtype=self.dtype,
-                             name=f"bn{i}")(x)
+            mode = _bn_matmul_mode()
+            if mode:  # MXU-matvec BN stats (PERF.md MFU experiment)
+                x = MatmulBN(momentum=0.9, epsilon=1e-5,
+                             custom_vjp=mode >= 2, dtype=self.dtype,
+                             name=f"bn{i}")(x, use_running_average=not train)
+            else:
+                x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                 epsilon=1e-5, dtype=self.dtype,
+                                 name=f"bn{i}")(x)
             x = nn.relu(x)
         return x
 
@@ -247,6 +255,16 @@ def depth2pts(depth: jnp.ndarray, depth_mask: jnp.ndarray,
     cdf = jnp.cumsum(mask, axis=-1)  # (b, hw); steps of 1 at valid pixels
     total = cdf[:, -1]
     u = jax.random.uniform(rng, (b, n_points)) * jnp.maximum(total, 1.0)[:, None]
+    # sorting the uniforms makes sample_ind raster-ordered FOR FREE (the
+    # multiset of draws — hence the multinomial distribution — is
+    # unchanged; only the order is).  Raster order = image-space locality
+    # = 3D locality for a depth cloud, so every downstream ball-query
+    # neighbor gather / backward scatter hits near-contiguous table rows
+    # (HBM sector reuse) instead of random ones.  All consumers are
+    # permutation-equivariant (the PN encoder + coordinate-based 3-NN).
+    # HCMOCO_PN_NOSORT=1 restores draw order for A/B measurement.
+    if os.environ.get("HCMOCO_PN_NOSORT", "0") != "1":
+        u = jnp.sort(u, axis=-1)
     sample_ind = jax.vmap(
         lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
     sample_ind = jnp.clip(sample_ind, 0, h * w - 1).astype(jnp.int32)
