@@ -34,6 +34,7 @@ from ..ops.point_ops import (
     furthest_point_sample, ball_query, gather_points,
     three_nn, three_interpolate, interpolation_weights,
 )
+from ..ops.pallas.window_group import window_group
 from .hrnet import (HRNet, MatmulBN, _bn_matmul_mode, merge_all_res,
                     _resize_bilinear)
 from .sgcn import SemGCN
@@ -48,6 +49,11 @@ NSAMPLE = ((16, 32), (16, 32), (16, 32), (16, 32))
 MLPS = (((16, 32), (32, 64)), ((64, 128), (64, 128)),
         ((128, 256), (128, 256)), ((256, 512), (256, 512)))
 FP_MLPS = ((128, 128), (256, 256), (512, 512), (512, 512))
+# half-windows (table rows) for the windowed one-hot grouping kernel, per
+# SA level x scale: 2x the max |idx - linear_base| measured on
+# representative smooth-depth batches (tools/measure_group_window.py).
+# Out-of-window batches fall back to the exact XLA gather automatically.
+SA_WINDOWS = ((224, 480), (640, 896), (512, 512), (256, 256))
 
 
 class SharedMLP(nn.Module):
@@ -71,6 +77,7 @@ class SharedMLP(nn.Module):
     tests/test_pointnet2_model.py::test_project_then_group_equivalence."""
 
     features: Sequence[int]
+    window: int = 0  # >0: windowed one-hot grouping kernel (TPU)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -81,9 +88,17 @@ class SharedMLP(nn.Module):
             if i == 0 and gidx is not None:
                 p = dense(x)  # (B, N, F0) projected table
                 b, m, s = gidx.shape
-                h = jnp.take_along_axis(
-                    p, gidx.reshape(b, m * s, 1).astype(jnp.int32),
-                    axis=1).reshape(b, m, s, f)
+                if (self.window
+                        and os.environ.get("HCMOCO_PN_NO_WG", "0") != "1"):
+                    # HCMOCO_PN_FORCE_WG=1: interpret-mode kernel off-TPU
+                    # (model-level integration tests)
+                    h = window_group(
+                        p, gidx, window=self.window,
+                        force=os.environ.get("HCMOCO_PN_FORCE_WG") == "1")
+                else:
+                    h = jnp.take_along_axis(
+                        p, gidx.reshape(b, m * s, 1).astype(jnp.int32),
+                        axis=1).reshape(b, m, s, f)
                 if center is not None:
                     # centering contribution: concat(center, 0) @ W
                     cpad = jnp.concatenate(
@@ -124,6 +139,8 @@ class SAModuleMSG(nn.Module):
     # it saved (50 vs 69 samples/s) — bf16 MLPs restore the fit without
     # it, so default OFF (bench knob BENCH_PN_REMAT).
     remat_mlp: bool = False
+    # per-scale half-windows for the windowed grouping kernel (0 = off)
+    windows: Sequence[int] = ()
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -134,6 +151,12 @@ class SAModuleMSG(nn.Module):
         # so the npoint==n case (SA0) can skip the O(N^2) FPS pass.
         idx = furthest_point_sample(xyz, self.npoint, impl=self.point_impl,
                                     allow_identity=True)
+        if os.environ.get("HCMOCO_PN_NOSORT", "0") != "1":
+            # ascending center order: same FPS-selected SET (consumers are
+            # permutation-equivariant, like the raster-sorted sampling in
+            # depth2pts), and center table positions become near-linear in
+            # m — the property the windowed grouping kernel tiles on.
+            idx = jnp.sort(idx, axis=-1)
         new_xyz = gather_points(xyz, idx)  # (B, M, 3)
 
         # project-then-group: the MLP's first Dense commutes with the
@@ -159,8 +182,10 @@ class SAModuleMSG(nn.Module):
 
             if self.remat_mlp:
                 scale = nn.remat(scale, static_argnums=())
+            win = self.windows[i] if i < len(self.windows) else 0
             outs.append(scale(
-                SharedMLP(self.mlps[i], dtype=self.dtype, name=f"mlp{i}"),
+                SharedMLP(self.mlps[i], window=win, dtype=self.dtype,
+                          name=f"mlp{i}"),
                 table, gidx, center))
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
@@ -208,7 +233,8 @@ class Pointnet2MSG(nn.Module):
                 npoint=self.npoints[k], radii=RADIUS[k],
                 nsamples=NSAMPLE[k],
                 mlps=MLPS[k], point_impl=self.point_impl,
-                remat_mlp=k in self.remat_levels, dtype=self.dtype,
+                remat_mlp=k in self.remat_levels,
+                windows=SA_WINDOWS[k], dtype=self.dtype,
                 name=f"sa{k}")
             nx, nf = sa(l_xyz[k], l_feats[k], train)
             l_xyz.append(nx)

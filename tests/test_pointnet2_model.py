@@ -61,6 +61,46 @@ class TestProjectThenGroup:
                                    rtol=1e-4, atol=1e-5)
 
 
+class TestWindowedGroupingIntegration:
+    def test_sa_module_windowed_matches_xla(self, monkeypatch):
+        """SAModuleMSG with the windowed grouping kernel (interpret mode)
+        must match the XLA-gather path on locality-friendly sorted points
+        (and the constructed indices must actually be in-window, so the
+        fast path — not the fallback — is what's being compared)."""
+        from hcmoco_tpu.models.pointnet2_model import SAModuleMSG
+
+        rng = np.random.default_rng(7)
+        n = 256
+        t = np.linspace(0.0, 10.0, n, dtype=np.float32)
+        xyz = np.stack([t, np.sin(t),
+                        rng.standard_normal(n).astype(np.float32) * 0.05],
+                       axis=-1)[None].repeat(2, 0)
+        xyz = jnp.asarray(xyz)
+        feats = jnp.asarray(
+            rng.standard_normal((2, n, 6)).astype(np.float32))
+
+        sa = SAModuleMSG(npoint=n, radii=(0.4, 0.8), nsamples=(4, 8),
+                         mlps=((8, 16), (8, 16)), windows=(24, 48))
+        v = sa.init(jax.random.PRNGKey(0), xyz, feats, train=False)
+
+        # sanity: indices really are within the configured windows
+        from hcmoco_tpu.ops.point_ops import ball_query
+        for r, w in ((0.4, 24), (0.8, 48)):
+            g = np.asarray(ball_query(xyz, xyz, r, 8))
+            rel = np.abs(g - np.arange(n)[None, :, None])
+            assert rel.max() < w, (r, rel.max())
+
+        monkeypatch.setenv("HCMOCO_PN_FORCE_WG", "1")
+        (_, out_fast), _ = sa.apply(v, xyz, feats, train=True,
+                                    mutable=["batch_stats"])
+        monkeypatch.delenv("HCMOCO_PN_FORCE_WG")
+        monkeypatch.setenv("HCMOCO_PN_NO_WG", "1")
+        (_, out_xla), _ = sa.apply(v, xyz, feats, train=True,
+                                   mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(out_fast), np.asarray(out_xla),
+                                   rtol=1e-5, atol=1e-5)
+
+
 class TestDepthBackprojection:
     def test_depth2pts_world_coords(self):
         b, s = 2, 8
