@@ -1,0 +1,69 @@
+"""On-chip validation of the windowed one-hot grouping kernel.
+
+Compares window_group (Mosaic path, fast-path predicate true) against the
+XLA gather at the real SA-MSG shapes, forward (bit-exact) and backward
+(f32-accum vs bf16 scatter-adds: relative-L2 bound).  Run on the TPU:
+    python tools/check_window_group_tpu.py
+"""
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/hcmoco_jax_cache_tpu")
+
+import jax.numpy as jnp  # noqa: E402
+
+from hcmoco_tpu.ops.pallas.window_group import window_group  # noqa: E402
+
+
+def _xla(table, gidx):
+    b, m, s = gidx.shape
+    out = jnp.take_along_axis(
+        table, gidx.reshape(b, m * s, 1).astype(jnp.int32), axis=1)
+    return out.reshape(b, m, s, table.shape[-1])
+
+
+def check(b, n, m, s, c, window, dtype):
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(
+        rng.standard_normal((b, n, c)).astype(np.float32)).astype(dtype)
+    base = (np.arange(m) * (n // m))[None, :, None]
+    g = base + rng.integers(-window // 2, window // 2 + 1, (b, m, s))
+    gidx = jnp.asarray(np.clip(g, 0, n - 1).astype(np.int32))
+    cot = jnp.asarray(
+        rng.standard_normal((b, m, s, c)).astype(np.float32)).astype(dtype)
+
+    def loss(fn, t):
+        return jnp.sum(fn(t, gidx).astype(jnp.float32) * cot)
+
+    f_win = jax.jit(lambda t: window_group(t, gidx, window=window))
+    o_win = np.asarray(f_win(table).astype(jnp.float32))
+    o_xla = np.asarray(_xla(table, gidx).astype(jnp.float32))
+    assert (o_win == o_xla).all(), (
+        f"fwd mismatch {(o_win != o_xla).mean():.2e}")
+
+    g_win = np.asarray(jax.jit(jax.grad(lambda t: loss(
+        lambda t, gi: window_group(t, gi, window=window), t)))(table),
+        dtype=np.float32)
+    g_xla = np.asarray(jax.jit(jax.grad(lambda t: loss(_xla, t)))(table),
+                       dtype=np.float32)
+    rl2 = np.linalg.norm(g_win - g_xla) / max(np.linalg.norm(g_xla), 1e-9)
+    assert rl2 < 2e-2, f"bwd rel-L2 {rl2:.3e}"
+    print(f"OK b={b} n={n} m={m} s={s} c={c} w={window} "
+          f"{np.dtype(dtype).name if dtype != jnp.bfloat16 else 'bfloat16'} "
+          f"bwd relL2={rl2:.2e}")
+
+
+def main():
+    print("backend:", jax.default_backend())
+    check(8, 4096, 4096, 32, 32, 480, jnp.bfloat16)   # sa0 scale-2
+    check(8, 4096, 4096, 16, 16, 224, jnp.bfloat16)   # sa0 scale-1
+    check(8, 4096, 1024, 32, 64, 896, jnp.bfloat16)   # sa1 scale-2
+    check(8, 1024, 256, 32, 128, 512, jnp.bfloat16)   # sa2 scale-2
+    check(2, 4096, 4096, 32, 32, 480, jnp.float32)    # f32 variant
+    print("ALL OK")
+
+
+if __name__ == "__main__":
+    main()
