@@ -145,9 +145,18 @@ class MatmulBN(nn.Module):
 
 def _bn_matmul_mode() -> int:
     """0 = flax reduce BN; 1 = dot-stats forward (autodiff backward);
-    2 = dot-stats forward + custom-VJP dot backward."""
+    2 = dot-stats forward + custom-VJP dot backward.
+
+    Default on TPU is mode 2: measured +1.3-1.8% end-to-end on the
+    flagship step (361.2/361.7 vs 354.6/357.0 samples/s/chip @bs128, two
+    runs each — PERF.md "Flagship MFU experiments"), math-equivalent by
+    tests/test_models.py.  Elsewhere (CPU tests) the flax reduce is used.
+    """
     try:
-        return int(os.environ.get("HCMOCO_BN_MATMUL", "0"))
+        v = os.environ.get("HCMOCO_BN_MATMUL")
+        if v is not None:
+            return int(v)
+        return 2 if jax.default_backend() == "tpu" else 0
     except ValueError:
         return 0
 
