@@ -6,6 +6,11 @@ XLA gather at the real SA-MSG shapes, forward (bit-exact) and backward
     python tools/check_window_group_tpu.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax

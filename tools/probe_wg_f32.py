@@ -10,6 +10,11 @@ distinguish garbage from a layout permutation.
     python tools/probe_wg_f32.py
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import jax
