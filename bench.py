@@ -10,22 +10,33 @@ BASELINE.json carries one; the repo publishes no numbers (README Model Zoo
 "TBA"), so we report vs the BASELINE.json target of 4x an estimated 30
 samples/s/V100 placeholder until a measured reference number lands.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The second flagship (HRNetPN: HRNet + SemGCN + PointNet++ with the Pallas
+point kernels) is measured in the same run at ITS operating point (bs64 —
+PERF.md batch sweep) and attached as `hrnetpn_*` fields; set
+BENCH_SECONDARY=0 to skip it, or BENCH_ARCH=HRNetPN to make it primary.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 
-def main():
+def _measure(arch: str, width: int, per_chip: int):
+    """Build + time the stage-1 step for one architecture.
+
+    Returns (samples_per_sec_chip, cfg).  All device buffers created here
+    are dropped before returning so a second architecture can be measured
+    in the same process without the first's HBM footprint.
+    """
+    import functools
+
     import jax
-    # NOTE: TPU (axon remote-compile) runs must NOT share a compilation
-    # cache dir with forced-CPU runs: the remote compiler emits CPU AOT
-    # artifacts for ITS host (AMX features) which SIGABRT when loaded by
-    # local CPU executions (tests). Keep _tpu separate.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/hcmoco_jax_cache_tpu")
+    import jax.numpy as jnp
+
     from hcmoco_tpu.core.config import TrainConfig, resolve_config
     from hcmoco_tpu.models.build import build_model
     from hcmoco_tpu.parallel.mesh import make_mesh, shard_batch, \
@@ -34,31 +45,14 @@ def main():
     from hcmoco_tpu.train.contrast_step import make_contrast_train_step
     from hcmoco_tpu.data.synthetic import synthetic_contrast_batch
 
-    import os
-
-    # MFU experiment (PERF.md): BN batch stats as MXU matvecs instead of
-    # cross-lane reduces; 1 = forward dots, 2 = + custom-VJP backward dots.
-    # The flag is read by ConvBN at trace time.
-    if os.environ.get("BENCH_BN_MATMUL", "0") != "0":
-        os.environ["HCMOCO_BN_MATMUL"] = os.environ["BENCH_BN_MATMUL"]
-    # MFU experiment (PERF.md): force C-minormost activation layouts to
-    # measure the BN-vs-conv layout tradeoff end-to-end.
-    if os.environ.get("BENCH_CMINOR", "0") == "1":
-        os.environ["HCMOCO_CMINOR"] = "1"
-
     n_chips = len(jax.devices())
-    # measured sweep on v5e-16GB with the counts-mode NCE (PERF.md):
-    # 321/s @112, 354/s @128; 128/chip fits without remat.
-    per_chip = int(os.environ.get("BENCH_PER_CHIP", "128"))
     batch_size = per_chip * n_chips
     n_data = 8192
 
     cfg = resolve_config(TrainConfig(
         method="CMCRGBD2S",
-        # BENCH_ARCH=HRNetPN benches the second flagship (HRNet + SemGCN +
-        # PointNet++ with the Pallas FPS/ball-query/three-NN kernels)
-        arch=os.environ.get("BENCH_ARCH", "HRNet"),
-        width=int(os.environ.get("BENCH_WIDTH", "18")),
+        arch=arch,
+        width=width,
         batch_size=batch_size, epochs=100, learning_rate=0.03, cosine=True,
         nce_k=16384, modality_missing=True, crop_size=320,
         compute_dtype="bfloat16",
@@ -87,9 +81,6 @@ def main():
     # Chain n_iters steps inside ONE executable (lax.scan): this host talks
     # to the chip through a dispatch tunnel whose per-call round-trip
     # otherwise dominates ~40ms steps.
-    import functools
-    import jax.numpy as jnp
-
     n_iters = 20
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -112,24 +103,63 @@ def main():
     np.asarray(losses)
     dt = time.perf_counter() - t0
 
-    samples_per_sec_chip = batch_size * n_iters / dt / n_chips
+    # release this architecture's HBM before any second measurement
+    del state, losses, sharded, batch
+    return batch_size * n_iters / dt / n_chips, cfg
+
+
+def main():
+    import jax
+    # NOTE: TPU (axon remote-compile) runs must NOT share a compilation
+    # cache dir with forced-CPU runs: the remote compiler emits CPU AOT
+    # artifacts for ITS host (AMX features) which SIGABRT when loaded by
+    # local CPU executions (tests). Keep _tpu separate.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hcmoco_jax_cache_tpu")
+
+    # MFU experiment (PERF.md): BN batch stats as MXU matvecs instead of
+    # cross-lane reduces; 1 = forward dots, 2 = + custom-VJP backward dots.
+    # The flag is read by ConvBN at trace time (mode 2 is the TPU default).
+    if os.environ.get("BENCH_BN_MATMUL", "0") != "0":
+        os.environ["HCMOCO_BN_MATMUL"] = os.environ["BENCH_BN_MATMUL"]
+    # MFU experiment (PERF.md): force C-minormost activation layouts to
+    # measure the BN-vs-conv layout tradeoff end-to-end.
+    if os.environ.get("BENCH_CMINOR", "0") == "1":
+        os.environ["HCMOCO_CMINOR"] = "1"
+
+    arch = os.environ.get("BENCH_ARCH", "HRNet")
+    width = int(os.environ.get("BENCH_WIDTH", "18"))
+    # measured sweeps on v5e-16GB (PERF.md): flagship 354.6/s @128 with the
+    # counts-mode NCE; HRNetPN's operating point is bs64 (bs80+ OOMs).
+    default_bs = "64" if arch == "HRNetPN" else "128"
+    per_chip = int(os.environ.get("BENCH_PER_CHIP", default_bs))
+
+    rate, cfg = _measure(arch, width, per_chip)
     # The reference publishes no throughput numbers (BASELINE.md); the
     # denominator below is the BASELINE.json target's ESTIMATED 30
     # samples/s/V100, never measured — the honest headline is `value`.
     baseline_v100 = 30.0
     out = {
         "metric": "hcmoco_stage1_pretrain_throughput",
-        "value": round(samples_per_sec_chip, 2),
+        "value": round(rate, 2),
         "unit": "samples/sec/chip",
-        "vs_baseline": round(samples_per_sec_chip / baseline_v100, 3),
+        "vs_baseline": round(rate / baseline_v100, 3),
         "baseline_denominator": "estimated 30 samples/s/V100 (unmeasured; "
                                 "reference publishes no numbers)",
         "batch_per_chip": per_chip,
         "arch": cfg.arch,
         "width": cfg.width,
     }
-    out.update(_packed_input_rate(samples_per_sec_chip, per_chip,
-                                  cfg.crop_size))
+
+    # second flagship in the same run (same chip, same honest timing)
+    if arch == "HRNet" and os.environ.get("BENCH_SECONDARY", "1") == "1":
+        try:
+            pn_rate, _ = _measure("HRNetPN", width, 64)
+            out["hrnetpn_samples_per_sec_chip"] = round(pn_rate, 2)
+            out["hrnetpn_batch_per_chip"] = 64
+        except Exception as e:  # noqa: BLE001 - primary line must survive
+            out["hrnetpn_bench_error"] = str(e)[:200]
+
+    out.update(_packed_input_rate(rate, per_chip, cfg.crop_size))
     print(json.dumps(out))
 
 
@@ -143,7 +173,6 @@ def _packed_input_rate(device_rate: float, per_chip: int,
     normalizes on-chip; feeding the chip through this image's dispatch
     tunnel would measure the tunnel, not the design — tools/bench_input.py
     docstring)."""
-    import os
     import subprocess
     import sys
 

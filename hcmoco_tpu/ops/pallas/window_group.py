@@ -62,6 +62,19 @@ def _round_window(window: int, tms: int) -> Tuple[int, int]:
     return (k - 1) * tms // 2, k
 
 
+def _prec(dtype):
+    """MXU pass count for the one-hot dots.  bf16 operands are native
+    single-pass and exact.  f32 operands at DEFAULT precision run ONE
+    bf16 pass — the 'copied' rows come back bf16-rounded (observed as a
+    100%-of-elements small-relative-error forward mismatch at f32; the
+    first probe of it passed only because its integer-valued test data is
+    bf16-exact).  HIGHEST splits each f32 into 3 bf16 limbs; the one-hot
+    side splits exactly (1.0, 0, 0), so every product re-sums the full
+    24-bit mantissa and the row copy is bit-exact again."""
+    return (jax.lax.Precision.HIGHEST
+            if jnp.dtype(dtype) == jnp.float32 else jax.lax.Precision.DEFAULT)
+
+
 def _fwd_kernel(gidx_ref, table_ref, out_ref, *, tw, tms, w, n, rsub):
     t = pl.program_id(1)
     ws = t * tms
@@ -75,7 +88,7 @@ def _fwd_kernel(gidx_ref, table_ref, out_ref, *, tw, tms, w, n, rsub):
         r = rel[k0:k0 + rsub]
         oh = (r == jax.lax.broadcasted_iota(jnp.int32, (r.shape[0], tw), 1))
         out_ref[k0:k0 + rsub, :] = jax.lax.dot(
-            oh.astype(win.dtype), win,
+            oh.astype(win.dtype), win, precision=_prec(win.dtype),
             preferred_element_type=jnp.float32).astype(out_ref.dtype)
 
 
@@ -87,6 +100,10 @@ def _bwd_kernel(gidx_ref, gout_ref, part_ref, *, tw, tms, w, n, rsub):
     g = gidx_ref[...]
     rel = jnp.clip(g + (w - ws), lo, hi)
     rb = g.shape[0]
+    # bf16 cotangents are exact under a single bf16 pass (the one-hot side
+    # is 0/1); f32 cotangents need the 3-limb split to avoid rounding each
+    # product to bf16 before the f32 accumulate (see _prec).
+    prec = _prec(gout_ref.dtype)
     acc = jnp.zeros((tw, part_ref.shape[1]), jnp.float32)
     for k0 in range(0, rb, rsub):
         r = rel[k0:k0 + rsub]
@@ -95,7 +112,7 @@ def _bwd_kernel(gidx_ref, gout_ref, part_ref, *, tw, tms, w, n, rsub):
         # (TW, C) += oh^T @ go, contracting the row axis
         acc = acc + jax.lax.dot_general(
             oh.astype(jnp.float32), go, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            precision=prec, preferred_element_type=jnp.float32)
     part_ref[...] = acc
 
 

@@ -1,10 +1,14 @@
-"""Bisect the f32 window_group TPU miscompile by parameter sweep.
+"""Parameter sweep that RESOLVED the f32 window_group "miscompile".
 
-Known: f32 passes at (n=1024, m=n, s=16, c=16, w=224) but returns 100%
-wrong forward values at (n=4096, m=n, s=32, c=32, w=480)
-(tools/check_window_group_tpu.py, /tmp/q4_wg_check.log).  bf16 passes at
-both.  Sweep one parameter at a time from the passing base toward the
-failing config to find the trigger.
+History: check_window_group_tpu.py reported 100% wrong forward values at
+(n=4096, m=n, s=32, c=32, w=480) in f32 (bf16 passed).  This sweep passed
+EVERY config including that one — because its test data is integer-valued
+f32.  That asymmetry was the tell: the one-hot dot ran at DEFAULT MXU
+precision (one bf16 pass), which copies integer-valued and bf16 rows
+bit-exactly but rounds arbitrary f32 mantissas — a 100%-of-elements
+small-relative-error "mismatch", not a miscompile.  Fix: the kernel now
+uses Precision.HIGHEST when the value dtype is f32 (window_group.py::_prec).
+Kept as the regression probe for that diagnosis.
     python tools/probe_wg_sweep.py
 """
 
