@@ -206,6 +206,34 @@ class CMCDualModel(nn.Module):
         return out
 
 
+class CMCSharedModel(nn.Module):
+    """Legacy shared-trunk CMC model over `resnet_cmc.py`'s CMCResNet: one
+    trunk, pooled feature split in half (L | ab), per-half projection
+    heads.  The reference ships this encoder family unwired
+    (`cmc_model_dict`, resnet_cmc.py:234-238 — no build_backbone entry);
+    exposed here for completeness as arch '<resnet>cmc'."""
+
+    arch: str = "resnet50"
+    feat_dim: int = 128
+    head: str = "linear"
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = True, project: bool = True,
+                 x_jig=None, shuffle_ids=None):
+        from .resnet import make_cmc_resnet
+
+        p1, p2 = make_cmc_resnet(self.arch, dtype=self.dtype).copy(
+            name="encoder")(x, train)
+        out = {"pooled1": p1, "pooled2": p2}
+        if project:
+            out["feat1"] = ProjectionHead(self.feat_dim, self.head,
+                                          name="head1")(p1)
+            out["feat2"] = ProjectionHead(self.feat_dim, self.head,
+                                          name="head2")(p2)
+        return out
+
+
 def pair_encoder_params(tree1, tree2):
     """Stack two identically-structured encoder param/stat trees into the
     leading-[2] layout `pair_encoders=True` uses (encoder1 at index 0)."""
@@ -262,6 +290,11 @@ def build_model(cfg: TrainConfig) -> nn.Module:
             )
         raise NotImplementedError(f"arch {cfg.arch} for RGBD2S")
     if cfg.modal == "CMC":
+        if cfg.arch.endswith("cmc"):
+            # legacy shared-trunk CMC ResNet (resnet_cmc.py; the reference
+            # keeps it unwired — reachable here as e.g. --arch resnet50cmc)
+            return CMCSharedModel(arch=cfg.arch[:-3], feat_dim=cfg.feat_dim,
+                                  head=cfg.head, dtype=dtype)
         return CMCDualModel(arch=cfg.arch, feat_dim=cfg.feat_dim,
                             head=cfg.head,
                             in_channel_list=tuple(cfg.in_channel_list),

@@ -169,3 +169,51 @@ class TestPIRL:
         new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["loss"]))
         assert "nce_loss_jig" in metrics
+
+
+class TestCMCSharedTrunk:
+    """Legacy shared-trunk CMC ResNet (resnet_cmc.py) — the groups=2
+    split-stem family the reference ships unwired (cmc_model_dict,
+    resnet_cmc.py:234-238).  Param goldens extracted once from the torch
+    module on CPU: resnet50 11,795,648; resnet101 21,317,824."""
+
+    def test_param_count_matches_reference(self):
+        from hcmoco_tpu.models.resnet import make_cmc_resnet
+
+        model = make_cmc_resnet("resnet50", dtype=jnp.float32)
+        v = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)),
+                       train=False)
+        n = sum(int(np.prod(p.shape))
+                for p in jax.tree_util.tree_leaves(v["params"]))
+        assert n == 11_795_648
+
+    def test_modality_towers_never_mix(self):
+        """groups=2 everywhere => the first pooled half depends only on the
+        L channel, the second only on ab (resnet_cmc.py:154-173)."""
+        from hcmoco_tpu.models.resnet import make_cmc_resnet
+
+        model = make_cmc_resnet("resnet50", dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((2, 32, 32, 3)).astype(np.float32)
+        v = model.init(jax.random.PRNGKey(0), jnp.zeros_like(x),
+                       train=False)
+        l1, ab1 = model.apply(v, jnp.asarray(x), train=False)
+        x2 = x.copy()
+        x2[..., 1:] += 1.0  # perturb ab only
+        l2, ab2 = model.apply(v, jnp.asarray(x2), train=False)
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+        assert np.abs(np.asarray(ab1) - np.asarray(ab2)).max() > 0
+
+    def test_cmc_shared_bank_step(self):
+        cfg = TrainConfig(modal="CMC", arch="resnet50cmc", mem="bank",
+                          nce_k=7, batch_size=4, epochs=2,
+                          in_channel_list=(1, 2),
+                          compute_dtype="float32")
+        rng = np.random.default_rng(0)
+        batch = {
+            "rgbd": rng.standard_normal((4, 32, 32, 3)).astype(np.float32),
+            "index": np.arange(4, dtype=np.int32),
+        }
+        new_state, metrics = run_one(cfg, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        assert "nce_loss_12" in metrics and "nce_loss_21" in metrics
