@@ -25,6 +25,9 @@ import time
 import numpy as np
 
 
+_SMOKE = os.environ.get("BENCH_SMOKE", "0") == "1"
+
+
 def _measure(arch: str, width: int, per_chip: int):
     """Build + time the stage-1 step for one architecture.
 
@@ -46,15 +49,18 @@ def _measure(arch: str, width: int, per_chip: int):
     from hcmoco_tpu.data.synthetic import synthetic_contrast_batch
 
     n_chips = len(jax.devices())
+    if _SMOKE:  # CPU plumbing check: tiny everything, same code path
+        per_chip, width = 2, 4
     batch_size = per_chip * n_chips
-    n_data = 8192
+    n_data = 8192 if not _SMOKE else 64
 
     cfg = resolve_config(TrainConfig(
         method="CMCRGBD2S",
         arch=arch,
         width=width,
         batch_size=batch_size, epochs=100, learning_rate=0.03, cosine=True,
-        nce_k=16384, modality_missing=True, crop_size=320,
+        nce_k=16384 if not _SMOKE else 15,
+        modality_missing=True, crop_size=320 if not _SMOKE else 32,
         compute_dtype="bfloat16",
         pair_encoders=os.environ.get("BENCH_PAIR", "0") == "1",
         channel_pad=int(os.environ.get("BENCH_CHANNEL_PAD", "0")),
@@ -63,7 +69,8 @@ def _measure(arch: str, width: int, per_chip: int):
     ))
     model = build_model(cfg)
     rng = np.random.default_rng(0)
-    batch = synthetic_contrast_batch(rng, batch_size, size=320,
+    batch = synthetic_contrast_batch(rng, batch_size,
+                                     size=cfg.crop_size,
                                      num_joints=16, n_data=n_data)
 
     mesh = make_mesh()
@@ -81,7 +88,7 @@ def _measure(arch: str, width: int, per_chip: int):
     # Chain n_iters steps inside ONE executable (lax.scan): this host talks
     # to the chip through a dispatch tunnel whose per-call round-trip
     # otherwise dominates ~40ms steps.
-    n_iters = 20
+    n_iters = 20 if not _SMOKE else 2
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def multi_step(state, batch, rng):
@@ -113,8 +120,12 @@ def main():
     # NOTE: TPU (axon remote-compile) runs must NOT share a compilation
     # cache dir with forced-CPU runs: the remote compiler emits CPU AOT
     # artifacts for ITS host (AMX features) which SIGABRT when loaded by
-    # local CPU executions (tests). Keep _tpu separate.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/hcmoco_jax_cache_tpu")
+    # local CPU executions (tests). Keep _tpu separate; a forced-CPU
+    # BENCH_SMOKE run must NOT read _tpu for the same reason.
+    cache = ("/tmp/hcmoco_jax_cache_tpu"
+             if jax.default_backend() == "tpu"
+             else "/tmp/hcmoco_jax_cache_bench_smoke")
+    jax.config.update("jax_compilation_cache_dir", cache)
 
     # MFU experiment (PERF.md): BN batch stats as MXU matvecs instead of
     # cross-lane reduces; 1 = forward dots, 2 = + custom-VJP backward dots.
@@ -145,7 +156,7 @@ def main():
         "vs_baseline": round(rate / baseline_v100, 3),
         "baseline_denominator": "estimated 30 samples/s/V100 (unmeasured; "
                                 "reference publishes no numbers)",
-        "batch_per_chip": per_chip,
+        "batch_per_chip": cfg.batch_size // len(jax.devices()),
         "arch": cfg.arch,
         "width": cfg.width,
     }
