@@ -174,7 +174,13 @@ class SAModuleMSG(nn.Module):
             center = None
         outs = []
         for i, (r, s) in enumerate(zip(self.radii, self.nsamples)):
-            gidx = ball_query(xyz, new_xyz, r, s, impl=self.point_impl)
+            # same measured locality windows the grouping kernel tiles on;
+            # exact (violation fallback inside ball_query_windowed).
+            # Opt-in until measured on-chip: HCMOCO_BQ_WINDOW=1.
+            bq_win = (self.windows[i] if i < len(self.windows) else 0) \
+                if os.environ.get("HCMOCO_BQ_WINDOW", "0") == "1" else 0
+            gidx = ball_query(xyz, new_xyz, r, s, impl=self.point_impl,
+                              window=bq_win)
 
             def scale(mlp, table, gidx, center):
                 h = mlp(table, train, gidx=gidx, center=center)

@@ -50,6 +50,120 @@ def _bq_kernel(xyz_ref, new_ref, out_ref, r2: float, nsample: int):
     out_ref[:] = jnp.stack(slots, axis=-1)
 
 
+def _bqw_kernel(xyz_ref, new_ref, out_ref, viol_ref, *, r2: float,
+                nsample: int, cms: int, w: int, n: int):
+    """Windowed variant: the slot sweep runs over the TW-lane window around
+    this tile's static base instead of all N lanes; a single full-range
+    pass flags any in-radius point OUTSIDE the window (the wrapper falls
+    back to the exact kernel when a non-degenerate sample is flagged)."""
+    j = pl.program_id(1)
+    ws = j * cms  # window start in the PADDED point array
+    tw = cms + 2 * w
+    new = new_ref[:]  # (3, CM)
+    cm = new.shape[1]
+
+    # full-range hit mask (one pass; ~(3+2)/(3+2*nsample) of the old cost)
+    xyz = xyz_ref[:]  # (3, N + 2w) padded with +1e9 sentinels
+    npad = xyz.shape[1]
+    d2f = jnp.zeros((cm, npad), jnp.float32)
+    for c in range(3):
+        diff = new[c][:, None] - xyz[c][None, :]
+        d2f = d2f + diff * diff
+    hitf = d2f < r2
+    lanes_f = jax.lax.broadcasted_iota(jnp.int32, hitf.shape, 1)
+    outside = (lanes_f < ws) | (lanes_f >= ws + tw)
+    viol = jnp.any(hitf & outside)
+    viol_ref[...] = jnp.broadcast_to(viol.astype(jnp.int32), viol_ref.shape)
+
+    # windowed slot sweep (identical math to _bq_kernel over TW lanes)
+    hit = jax.lax.dynamic_slice(hitf, (0, ws), (cm, tw))
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (cm, tw), 1)
+    masked = jnp.where(hit, lanes, tw)
+    first = jnp.min(masked, axis=-1)
+    has_any = first < tw
+    first = jnp.where(has_any, first, w - ws)  # zero hits -> real index 0
+    prev = jnp.full((cm,), -1, jnp.int32)
+    slots = []
+    for l in range(nsample):
+        k = jnp.min(jnp.where(lanes > prev[:, None], masked, tw), axis=-1)
+        has = k < tw
+        slots.append(jnp.where(has, k, first).astype(jnp.int32))
+        prev = jnp.where(has, k, prev)
+    # window lane -> real point index: real = ws + lane - w
+    out_ref[:] = jnp.stack(slots, axis=-1) + (ws - w)
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def ball_query_windowed(xyz: jnp.ndarray, new_xyz: jnp.ndarray,
+                        radius: float, nsample: int, window: int,
+                        chunk_m: int = 128,
+                        interpret: bool | None = None) -> jnp.ndarray:
+    """Exact ball query that exploits raster-sorted locality.
+
+    With depth2pts' raster-ordered points and ascending FPS centers
+    (models/pointnet2_model.py), in-radius neighbors lie within a measured
+    index window of the center's table position (SA_WINDOWS; same
+    measurement the window_group kernel tiles on).  The windowed kernel
+    sweeps nsample slots over TW = CM*stride + 2*window lanes instead of
+    N; exactness is preserved by a whole-batch `lax.cond` fallback to the
+    full kernel whenever any sample that is not row-uniform has an
+    in-radius point outside its window (row-uniform samples — the zero
+    clouds of use_depth=0 images — substitute equal-valued rows, exactly
+    as argued for window_group).  Falls back to the full kernel statically
+    when the window does not actually shrink the sweep.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, n, _ = xyz.shape
+    m = new_xyz.shape[1]
+    if m % chunk_m or n % m:
+        return ball_query_pallas(xyz, new_xyz, radius, nsample,
+                                 interpret=interpret)
+    stride = n // m
+    cms = chunk_m * stride
+    w = -(-window // 64) * 64  # lane-alignment: 2w multiple of 128
+    tw = cms + 2 * w
+    if tw >= n or cms % 128:
+        return ball_query_pallas(xyz, new_xyz, radius, nsample,
+                                 interpret=interpret)
+
+    xt = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (B, 3, N)
+    nt = jnp.swapaxes(new_xyz.astype(jnp.float32), 1, 2)  # (B, 3, M)
+    xpad = jnp.pad(xt, ((0, 0), (0, 0), (w, w)), constant_values=1e9)
+
+    idx, viol = pl.pallas_call(
+        functools.partial(_bqw_kernel, r2=radius * radius, nsample=nsample,
+                          cms=cms, w=w, n=n),
+        grid=(b, m // chunk_m),
+        in_specs=[
+            pl.BlockSpec((None, 3, n + 2 * w), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 3, chunk_m), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, chunk_m, nsample), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, 8, 128), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, m, nsample), jnp.int32),
+            jax.ShapeDtypeStruct((b, m // chunk_m, 8, 128), jnp.int32),
+        ],
+        interpret=interpret,
+    )(xpad, nt)
+
+    rowuni = jnp.all(xyz == xyz[:, :1, :], axis=(1, 2))  # (B,)
+    bad = jnp.any(viol[:, :, 0, 0] > 0, axis=1) & ~rowuni
+    return jax.lax.cond(
+        jnp.any(bad),
+        lambda a, c: ball_query_pallas(a, c, radius, nsample,
+                                       interpret=interpret),
+        lambda a, c: idx,
+        xyz, new_xyz)
+
+
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def ball_query_pallas(xyz: jnp.ndarray, new_xyz: jnp.ndarray, radius: float,
                       nsample: int, chunk_m: int = 256,

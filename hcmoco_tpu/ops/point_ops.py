@@ -115,14 +115,21 @@ def furthest_point_sample(xyz: jnp.ndarray, npoint: int,
 
 def ball_query(xyz: jnp.ndarray, new_xyz: jnp.ndarray, radius: float,
                nsample: int, chunk: int = 512,
-               impl: str = "xla") -> jnp.ndarray:
+               impl: str = "xla", window: int = 0) -> jnp.ndarray:
     """(B, N, 3), (B, M, 3) -> (B, M, nsample) int32 indices with the CUDA
     first-hit-fill semantics.  Centroids with zero hits get index 0 (the
     CUDA kernel leaves those slots uninitialized; FPS centroids always hit
-    themselves so the case never occurs in the model)."""
-    if impl == "pallas":
-        from .pallas.ball_query import ball_query_pallas
+    themselves so the case never occurs in the model).
 
+    window > 0 (pallas impl only) opts into the windowed kernel for
+    raster-sorted points (exact via violation fallback — see
+    pallas/ball_query.py::ball_query_windowed)."""
+    if impl == "pallas":
+        from .pallas.ball_query import ball_query_pallas, ball_query_windowed
+
+        if window > 0:
+            return ball_query_windowed(xyz, new_xyz, radius, nsample,
+                                       window)
         return ball_query_pallas(xyz, new_xyz, radius, nsample)
 
     b, n, _ = xyz.shape

@@ -214,3 +214,74 @@ class TestThreeNN:
         w = np.asarray(interpolation_weights(d2))
         np.testing.assert_allclose(w.sum(-1), 1.0, rtol=1e-6)
         assert w[0, 0, 0] == w[0, 0, 1] > w[0, 0, 2]
+
+
+class TestBallQueryWindowed:
+    """ball_query_windowed: windowed sweep + violation fallback
+    (pallas/ball_query.py; exploits raster-sorted locality like
+    window_group).  Interpret mode on CPU."""
+
+    @staticmethod
+    def _raster_cloud(b=2, n=1024, jitter=0.02, seed=0):
+        # points sorted along x => in-radius neighbors are index-local
+        rng = np.random.default_rng(seed)
+        x = np.arange(n, dtype=np.float32)[None, :] * 0.01
+        yz = rng.standard_normal((b, n, 2)).astype(np.float32) * jitter
+        return np.concatenate(
+            [np.broadcast_to(x, (b, n))[..., None], yz], axis=-1)
+
+    def test_matches_bruteforce_local(self):
+        from hcmoco_tpu.ops.pallas.ball_query import ball_query_windowed
+
+        cloud = self._raster_cloud()
+        centers = cloud[:, ::2]  # m=512, stride 2, ascending
+        got = np.asarray(ball_query_windowed(
+            jnp.asarray(cloud), jnp.asarray(centers), 0.3, 8, 50))
+        want = np_ball_query(cloud, centers, 0.3, 8)
+        np.testing.assert_array_equal(got, want)
+
+    def test_violation_falls_back_exact(self):
+        from hcmoco_tpu.ops.pallas.ball_query import ball_query_windowed
+
+        cloud = self._raster_cloud()
+        # far-in-index, near-in-space point: violates every window bound
+        cloud[0, 900] = cloud[0, 10]
+        centers = cloud[:, ::2]
+        got = np.asarray(ball_query_windowed(
+            jnp.asarray(cloud), jnp.asarray(centers), 0.3, 8, 50))
+        want = np_ball_query(cloud, centers, 0.3, 8)
+        np.testing.assert_array_equal(got, want)
+
+    def test_zero_cloud_rowuniform_values_exact(self):
+        from hcmoco_tpu.ops.pallas.ball_query import ball_query_windowed
+
+        cloud = np.zeros((2, 1024, 3), np.float32)
+        centers = cloud[:, ::2]
+        got = np.asarray(ball_query_windowed(
+            jnp.asarray(cloud), jnp.asarray(centers), 0.3, 8, 50))
+        assert ((got >= 0) & (got < 1024)).all()
+        # indices may differ from the CUDA order on row-uniform samples,
+        # but every gathered VALUE is identical
+        want = np_ball_query(cloud, centers, 0.3, 8)
+        np.testing.assert_array_equal(
+            np.take_along_axis(cloud[..., 0], got.reshape(2, -1), 1),
+            np.take_along_axis(cloud[..., 0], want.reshape(2, -1), 1))
+
+    def test_untileable_shapes_fall_back(self):
+        from hcmoco_tpu.ops.pallas.ball_query import ball_query_windowed
+
+        cloud = self._raster_cloud(n=128)
+        centers = cloud[:, :32]  # m=32 not a chunk multiple
+        got = np.asarray(ball_query_windowed(
+            jnp.asarray(cloud), jnp.asarray(centers), 0.5, 8, 50))
+        want = np_ball_query(cloud, centers, 0.5, 8)
+        np.testing.assert_array_equal(got, want)
+
+    def test_wrapper_window_arg(self):
+        cloud = self._raster_cloud()
+        centers = cloud[:, ::2]
+        got = np.asarray(ball_query(jnp.asarray(cloud),
+                                    jnp.asarray(centers), 0.3, 8,
+                                    impl="pallas", window=50))
+        want = np_ball_query(cloud, centers, 0.3, 8)
+        np.testing.assert_array_equal(got, want)

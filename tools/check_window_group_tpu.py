@@ -60,6 +60,56 @@ def check(b, n, m, s, c, window, dtype):
           f"bwd relL2={rl2:.2e}")
 
 
+def _raster_cloud(b, n, seed=0, jitter=0.02):
+    rng = np.random.default_rng(seed)
+    x = np.arange(n, dtype=np.float32)[None, :] * 0.01
+    yz = rng.standard_normal((b, n, 2)).astype(np.float32) * jitter
+    return np.concatenate(
+        [np.broadcast_to(x, (b, n))[..., None], yz], axis=-1)
+
+
+def check_bq(b, n, m, s, radius, window):
+    """Windowed ball query vs the full kernel at SA shapes: exactness on
+    locality-respecting clouds + slope timing (two chained reps cancel the
+    dispatch-tunnel round trip)."""
+    import time
+
+    from hcmoco_tpu.ops.pallas.ball_query import (ball_query_pallas,
+                                                  ball_query_windowed)
+
+    cloud = jnp.asarray(_raster_cloud(b, n))
+    centers = cloud[:, ::n // m]
+
+    def timed(fn, reps):
+        @jax.jit
+        def run(c, z):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(reps):
+                idx = fn(c, z + acc)  # data dep defeats CSE/hoisting
+                acc = acc + (idx.sum() % 7).astype(jnp.float32) * 1e-20
+            return acc
+
+        np.asarray(run(cloud, centers))  # compile+warm
+        t0 = time.perf_counter()
+        o = np.asarray(run(cloud, centers))
+        return time.perf_counter() - t0, o
+
+    f_win = lambda c, z: ball_query_windowed(c, z, radius, s, window)  # noqa: E731
+    f_full = lambda c, z: ball_query_pallas(c, z, radius, s)  # noqa: E731
+    o_win = np.asarray(jax.jit(f_win)(cloud, centers))
+    o_full = np.asarray(jax.jit(f_full)(cloud, centers))
+    exact = (o_win == o_full).all()
+    t1w, _ = timed(f_win, 1)
+    t4w, _ = timed(f_win, 4)
+    t1f, _ = timed(f_full, 1)
+    t4f, _ = timed(f_full, 4)
+    per_w = (t4w - t1w) / 3 * 1e3
+    per_f = (t4f - t1f) / 3 * 1e3
+    print(f"{'OK  ' if exact else 'FAIL'} bq b={b} n={n} m={m} s={s} "
+          f"w={window}: windowed {per_w:.2f} ms vs full {per_f:.2f} ms "
+          f"({per_f / max(per_w, 1e-6):.2f}x)", flush=True)
+
+
 def main():
     print("backend:", jax.default_backend())
     check(8, 4096, 4096, 32, 32, 480, jnp.bfloat16)   # sa0 scale-2
@@ -67,6 +117,10 @@ def main():
     check(8, 4096, 1024, 32, 64, 896, jnp.bfloat16)   # sa1 scale-2
     check(8, 1024, 256, 32, 128, 512, jnp.bfloat16)   # sa2 scale-2
     check(2, 4096, 4096, 32, 32, 480, jnp.float32)    # f32 variant
+    check_bq(8, 4096, 4096, 16, 0.3, 224)             # sa0 scale-1
+    check_bq(8, 4096, 4096, 32, 0.5, 480)             # sa0 scale-2
+    check_bq(8, 4096, 1024, 16, 0.3, 640)             # sa1 scale-1
+    check_bq(8, 4096, 1024, 32, 0.5, 896)             # sa1 scale-2
     print("ALL OK")
 
 
