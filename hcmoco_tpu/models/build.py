@@ -293,6 +293,11 @@ def build_model(cfg: TrainConfig) -> nn.Module:
         if cfg.arch.endswith("cmc"):
             # legacy shared-trunk CMC ResNet (resnet_cmc.py; the reference
             # keeps it unwired — reachable here as e.g. --arch resnet50cmc)
+            if cfg.jigsaw:
+                raise NotImplementedError(
+                    "jigsaw/PIRL is not defined for the legacy shared-trunk "
+                    "CMC ResNet (resnet_cmc.py has no jigsaw integration); "
+                    "use the dual-encoder CMC archs")
             return CMCSharedModel(arch=cfg.arch[:-3], feat_dim=cfg.feat_dim,
                                   head=cfg.head, dtype=dtype)
         return CMCDualModel(arch=cfg.arch, feat_dim=cfg.feat_dim,

@@ -60,7 +60,9 @@ def create_train_state(
             eb["depth_mask"][:1], eb["grid_xy"][:1], cfg.pn_ori_h,
             cfg.pn_ori_w, eb["depth_mean"][:1], train=False,
             return_fm=cfg.linear_feat_map)
-    elif "skeleton" in eb:
+    elif cfg.modal == "RGBD2S" and "skeleton" in eb:
+        # dispatch on the MODAL, not the batch keys: the synthetic source
+        # emits every modality, but CMC/RGB models take only the image
         variables = model.init(
             init_rng, eb["rgbd"][:1], eb["skeleton"][:1],
             train=False, return_fm=cfg.linear_feat_map)
