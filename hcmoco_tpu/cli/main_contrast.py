@@ -154,7 +154,8 @@ def main(argv=None):
         n_data = args.synthetic
         source = SyntheticContrastSource(
             cfg.batch_size, size=cfg.crop_size,
-            num_joints=cfg.num_joints, n_data=n_data, seed=cfg.seed)
+            num_joints=cfg.num_joints, n_data=n_data, seed=cfg.seed,
+            modal=cfg.modal)
         steps_per_epoch = max(n_data // cfg.batch_size, 1)
     else:
         from ..data.pipeline import build_contrast_source

@@ -285,6 +285,11 @@ def resolve_config(cfg: TrainConfig) -> TrainConfig:
             cfg, modal=p.modal, jigsaw=p.jigsaw, mem=p.mem, aug=p.aug,
             head=p.head, nce_t=p.nce_t,
         )
+    if cfg.modal == "CMC" and tuple(cfg.in_channel_list) == (3, 3):
+        # CMC's split is L|ab over a 3-channel YDbDr/Lab image — the
+        # reference head default in_channel_list=[1, 2]
+        # (build_backbone.py:87); (3, 3) is the tri-modal HCMoCo default
+        cfg = replace(cfg, in_channel_list=(1, 2))
     warm = cfg.warm or cfg.batch_size > 256
     updates = {"warm": warm}
     if warm:

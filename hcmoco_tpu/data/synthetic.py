@@ -80,18 +80,28 @@ def synthetic_contrast_batch(
 
 
 class SyntheticContrastSource:
-    """Infinite iterator of synthetic batches (host numpy)."""
+    """Infinite iterator of synthetic batches (host numpy).
+
+    modal: "RGBD2S" (default) yields the full tri-modal dict; "CMC"/"RGB"
+    yield only {rgbd[..., :3], index} — real datasets for those modals
+    emit a single 3-channel image (YDbDr for CMC), and the extra channels
+    would silently widen the encoder stems (flax infers input width)."""
 
     def __init__(self, batch_size: int, size: int = 320,
-                 num_joints: int = 16, n_data: int = 4096, seed: int = 0):
+                 num_joints: int = 16, n_data: int = 4096, seed: int = 0,
+                 modal: str = "RGBD2S"):
         self.batch_size = batch_size
         self.size = size
         self.num_joints = num_joints
         self.n_data = n_data
+        self.modal = modal
         self._rng = np.random.default_rng(seed)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         while True:
-            yield synthetic_contrast_batch(
+            b = synthetic_contrast_batch(
                 self._rng, self.batch_size, self.size, self.num_joints,
                 self.n_data)
+            if self.modal != "RGBD2S":
+                b = {"rgbd": b["rgbd"][..., :3], "index": b["index"]}
+            yield b
