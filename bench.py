@@ -164,13 +164,15 @@ def main():
     # second flagship in the same run (same chip, same honest timing)
     if arch == "HRNet" and os.environ.get("BENCH_SECONDARY", "1") == "1":
         try:
-            pn_rate, _ = _measure("HRNetPN", width, 64)
+            pn_rate, pn_cfg = _measure("HRNetPN", width, 64)
             out["hrnetpn_samples_per_sec_chip"] = round(pn_rate, 2)
-            out["hrnetpn_batch_per_chip"] = 64
+            out["hrnetpn_batch_per_chip"] = (pn_cfg.batch_size
+                                             // len(jax.devices()))
         except Exception as e:  # noqa: BLE001 - primary line must survive
             out["hrnetpn_bench_error"] = str(e)[:200]
 
-    out.update(_packed_input_rate(rate, per_chip, cfg.crop_size))
+    out.update(_packed_input_rate(rate, out["batch_per_chip"],
+                                  cfg.crop_size))
     print(json.dumps(out))
 
 

@@ -156,16 +156,19 @@ class _LegacySegDataset:
         return np.array(Image.open(os.path.join(self.root, rel))) \
             .astype(np.int32)
 
-    def _resize(self, img, label, size):
-        """(w, h) resize — bilinear image, nearest label (lip.py:61-64)."""
+    def _resize(self, img, label, size_hw):
+        """(h, w) resize — bilinear image, nearest label (lip.py:61-64).
+        cv2.resize takes (w, h); converted here so every caller stays in
+        the class-wide (h, w) convention of crop_size/_rand_crop."""
         import cv2
 
-        img = cv2.resize(img, size, interpolation=cv2.INTER_LINEAR)
-        label = cv2.resize(label.astype(np.int32), size,
+        wh = (size_hw[1], size_hw[0])
+        img = cv2.resize(img, wh, interpolation=cv2.INTER_LINEAR)
+        label = cv2.resize(label.astype(np.int32), wh,
                            interpolation=cv2.INTER_NEAREST)
         return img, label
 
-    def _gen_sample(self, img, label, do_flip_swap=None):
+    def _gen_sample(self, img, label, do_flip_swap=None, flip=None):
         """Scale jitter + random crop + optional flip (gen_sample)."""
         import cv2
 
@@ -183,7 +186,8 @@ class _LegacySegDataset:
             label = cv2.resize(label, (nw, nh),
                                interpolation=cv2.INTER_NEAREST)
             img, label = self._rand_crop(img, label)
-        if self.flip and int(self._rng.integers(0, 2)) == 1:
+        if (self.flip if flip is None else flip) \
+                and int(self._rng.integers(0, 2)) == 1:
             img = img[:, ::-1]
             label = label[:, ::-1]
             if do_flip_swap is not None:
@@ -229,7 +233,7 @@ class CityscapesParsing(_LegacySegDataset):
         orig_size = img.shape[:2]
         if len(rels) == 1:  # test split: image only (cityscapes.py:73-80)
             img, _ = self._resize(img, np.zeros(img.shape[:2], np.int32),
-                                  self.crop_size[::-1])
+                                  self.crop_size)
             return self._pack(img, np.full(self.crop_size,
                                            self.ignore_label), orig_size,
                               index)
@@ -273,19 +277,17 @@ class LIPParsing(_LegacySegDataset):
             # (lip.py:79-85)
             import cv2
 
-            img = cv2.resize(img, self.crop_size,
+            img = cv2.resize(img, (self.crop_size[1], self.crop_size[0]),
                              interpolation=cv2.INTER_LINEAR)
             return self._pack(img, label, orig_size, index)
-        # flip-with-label-swap happens BEFORE the resize (lip.py:88-100)
+        # flip-with-label-swap happens BEFORE the resize (lip.py:88-100);
+        # gen_sample then runs with flip disabled (lip.py:104 gen_sample
+        # multi_scale, False)
         if self.flip and int(self._rng.integers(0, 2)) == 1:
             img = img[:, ::-1]
             label = lip_swap_flip_labels(label[:, ::-1])
         img, label = self._resize(img, label, self.crop_size)
-        save_flip, self.flip = self.flip, False  # gen_sample(…, False)
-        try:
-            img, label = self._gen_sample(img, label)
-        finally:
-            self.flip = save_flip
+        img, label = self._gen_sample(img, label, flip=False)
         return self._pack(img, label, orig_size, index)
 
 

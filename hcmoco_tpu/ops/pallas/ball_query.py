@@ -50,33 +50,34 @@ def _bq_kernel(xyz_ref, new_ref, out_ref, r2: float, nsample: int):
     out_ref[:] = jnp.stack(slots, axis=-1)
 
 
-def _bqw_kernel(xyz_ref, new_ref, out_ref, viol_ref, *, r2: float,
+def _bqw_kernel(xyz_ref, new_ref, out_ref, *, r2: float,
                 nsample: int, cms: int, w: int, n: int):
     """Windowed variant: the slot sweep runs over the TW-lane window around
-    this tile's static base instead of all N lanes; a single full-range
-    pass flags any in-radius point OUTSIDE the window (the wrapper falls
-    back to the exact kernel when a non-degenerate sample is flagged)."""
+    this tile's static base instead of all N lanes.  The companion
+    _bqw_viol_kernel flags any in-radius point OUTSIDE the window (the
+    wrapper falls back to the exact kernel when a non-degenerate sample is
+    flagged).  The two run as SEPARATE pallas calls on purpose: fusing the
+    full-range reduce into this kernel made XLA:CPU (interpret mode)
+    miscompile the final sweep iteration — every center's last slot came
+    back as the first-hit fallback (bisected to the mere presence of a
+    full-width masked reduce alongside the sweep; output structure and
+    op choice were irrelevant).  Two jaxprs cannot cross-fuse, and the
+    extra (3, N+2w) table read is ~50 KB per program."""
     j = pl.program_id(1)
     ws = j * cms  # window start in the PADDED point array
     tw = cms + 2 * w
     new = new_ref[:]  # (3, CM)
     cm = new.shape[1]
 
-    # full-range hit mask (one pass; ~(3+2)/(3+2*nsample) of the old cost)
-    xyz = xyz_ref[:]  # (3, N + 2w) padded with +1e9 sentinels
-    npad = xyz.shape[1]
-    d2f = jnp.zeros((cm, npad), jnp.float32)
+    # windowed slot sweep (identical math to _bq_kernel over TW lanes).
+    # Mosaic has no value-level dynamic_slice lowering (CLAUDE.md pitfall);
+    # slice the REF at the dynamic offset (pl.ds, as window_group does).
+    xyz_w = xyz_ref[:, pl.ds(ws, tw)]  # (3, TW)
+    d2w = jnp.zeros((cm, tw), jnp.float32)
     for c in range(3):
-        diff = new[c][:, None] - xyz[c][None, :]
-        d2f = d2f + diff * diff
-    hitf = d2f < r2
-    lanes_f = jax.lax.broadcasted_iota(jnp.int32, hitf.shape, 1)
-    outside = (lanes_f < ws) | (lanes_f >= ws + tw)
-    viol = jnp.any(hitf & outside)
-    viol_ref[...] = jnp.broadcast_to(viol.astype(jnp.int32), viol_ref.shape)
-
-    # windowed slot sweep (identical math to _bq_kernel over TW lanes)
-    hit = jax.lax.dynamic_slice(hitf, (0, ws), (cm, tw))
+        diff = new[c][:, None] - xyz_w[c][None, :]
+        d2w = d2w + diff * diff
+    hit = d2w < r2
     lanes = jax.lax.broadcasted_iota(jnp.int32, (cm, tw), 1)
     masked = jnp.where(hit, lanes, tw)
     first = jnp.min(masked, axis=-1)
@@ -91,6 +92,28 @@ def _bqw_kernel(xyz_ref, new_ref, out_ref, viol_ref, *, r2: float,
         prev = jnp.where(has, k, prev)
     # window lane -> real point index: real = ws + lane - w
     out_ref[:] = jnp.stack(slots, axis=-1) + (ws - w)
+
+
+def _bqw_viol_kernel(xyz_ref, new_ref, out_ref, *, r2: float, cms: int,
+                     w: int):
+    """Exactness guard for _bqw_kernel: one full-range distance pass; the
+    (8, 128) output tile is a broadcast of the per-program violation flag
+    (Mosaic has no scalar VMEM stores — CLAUDE.md)."""
+    j = pl.program_id(1)
+    ws = j * cms
+    tw = cms + 2 * w
+    new = new_ref[:]
+    cm = new.shape[1]
+    xyz = xyz_ref[:]  # (3, N + 2w) padded with +1e9 sentinels
+    d2f = jnp.zeros((cm, xyz.shape[1]), jnp.float32)
+    for c in range(3):
+        diff = new[c][:, None] - xyz[c][None, :]
+        d2f = d2f + diff * diff
+    lanes_f = jax.lax.broadcasted_iota(jnp.int32, d2f.shape, 1)
+    outside = (lanes_f < ws) | (lanes_f >= ws + tw)
+    viol = jnp.any((d2f < r2) & outside)
+    out_ref[:] = jnp.broadcast_to(viol.astype(jnp.int32),
+                                  out_ref.shape)
 
 
 @functools.partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
@@ -131,31 +154,37 @@ def ball_query_windowed(xyz: jnp.ndarray, new_xyz: jnp.ndarray,
     nt = jnp.swapaxes(new_xyz.astype(jnp.float32), 1, 2)  # (B, 3, M)
     xpad = jnp.pad(xt, ((0, 0), (0, 0), (w, w)), constant_values=1e9)
 
-    idx, viol = pl.pallas_call(
+    common_in_specs = [
+        pl.BlockSpec((None, 3, n + 2 * w), lambda i, j: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((None, 3, chunk_m), lambda i, j: (i, 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    idx = pl.pallas_call(
         functools.partial(_bqw_kernel, r2=radius * radius, nsample=nsample,
                           cms=cms, w=w, n=n),
         grid=(b, m // chunk_m),
-        in_specs=[
-            pl.BlockSpec((None, 3, n + 2 * w), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 3, chunk_m), lambda i, j: (i, 0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((None, chunk_m, nsample), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, 8, 128), lambda i, j: (i, j, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((b, m, nsample), jnp.int32),
-            jax.ShapeDtypeStruct((b, m // chunk_m, 8, 128), jnp.int32),
-        ],
+        in_specs=common_in_specs,
+        out_specs=pl.BlockSpec((None, chunk_m, nsample),
+                               lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, m, nsample), jnp.int32),
+        interpret=interpret,
+    )(xpad, nt)
+    viol = pl.pallas_call(
+        functools.partial(_bqw_viol_kernel, r2=radius * radius, cms=cms,
+                          w=w),
+        grid=(b, m // chunk_m),
+        in_specs=common_in_specs,
+        out_specs=pl.BlockSpec((None, 8, 128), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, (m // chunk_m) * 8, 128),
+                                       jnp.int32),
         interpret=interpret,
     )(xpad, nt)
 
     rowuni = jnp.all(xyz == xyz[:, :1, :], axis=(1, 2))  # (B,)
-    bad = jnp.any(viol[:, :, 0, 0] > 0, axis=1) & ~rowuni
+    bad = jnp.any(viol > 0, axis=(1, 2)) & ~rowuni
     return jax.lax.cond(
         jnp.any(bad),
         lambda a, c: ball_query_pallas(a, c, radius, nsample,
