@@ -27,7 +27,12 @@ def build_argparser():
     p.add_argument("--modality", type=str, default="depth",
                    choices=["depth", "rgb"])
     p.add_argument("--dataset", type=str, default="nturgbd",
-                   choices=["nturgbd", "human36m"])
+                   choices=["nturgbd", "human36m", "cityscapes", "lip",
+                            "pascal_ctx"],
+                   help="legacy cityscapes/lip/pascal_ctx loaders "
+                        "(downstream/seg/legacy.py) batch-train like the "
+                        "others; their val splits keep reference-original "
+                        "label sizes, so evaluate them with --test_only")
     p.add_argument("--num_classes", type=int, default=25)
     p.add_argument("--crop", type=int, default=473)
     p.add_argument("--width", type=int, default=18)
@@ -94,6 +99,23 @@ def main(argv=None):
                 }
 
         train_ds = val_ds = Synth()
+    elif args.dataset in ("cityscapes", "lip", "pascal_ctx"):
+        from .legacy import (CityscapesParsing, LIPParsing,
+                             PascalContextParsing)
+
+        cls = {"cityscapes": CityscapesParsing, "lip": LIPParsing,
+               "pascal_ctx": PascalContextParsing}[args.dataset]
+        # ignore_label=255 matches this trainer's criterion convention
+        # (the reference uses -1 for these sets; pure label-encoding delta)
+        kw = dict(crop_size=(crop, crop), base_size=crop,
+                  num_classes=args.num_classes, seed=args.seed,
+                  ignore_label=255)
+        train_ds = cls(args.root, args.train_list, is_train=True, **kw)
+        val_ds = cls(args.root, args.val_list, is_train=False, **kw)
+        # cityscapes ships hardcoded class weights (cityscapes.py:42-45);
+        # lip/pascal_ctx train unweighted
+        class_weights = (jnp.asarray(train_ds.class_weights)
+                         if train_ds.class_weights is not None else None)
     else:
         cls = Human36MParsing if args.dataset == "human36m" \
             else ParsingDataset
