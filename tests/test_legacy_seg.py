@@ -158,3 +158,37 @@ class TestLegacyDatasets:
                                   crop_size=(24, 24), is_train=False)
         v = va[0]
         assert v["label"].shape == (24, 24)
+
+
+class TestLegacyCLIDrive:
+    def test_cityscapes_trains_through_seg_cli(self, seg_root, tmp_path,
+                                               capsys):
+        """End-to-end: the parsing trainer consumes CityscapesParsing via
+        --dataset cityscapes (class weights + 34->19 labels + mIoU eval)."""
+        import os
+
+        rng = np.random.default_rng(1)
+        img_dir = os.path.join(seg_root, "cityscapes", "leftImg8bit")
+        gt_dir = os.path.join(seg_root, "cityscapes", "gtFine")
+        names = []
+        for i in range(8):
+            img = rng.integers(0, 255, (40, 60, 3), dtype=np.uint8)
+            lab = rng.choice(list(CITYSCAPES_ID_TO_TRAIN) + [0, 29],
+                             (40, 60)).astype(np.uint8)
+            _write_png(os.path.join(img_dir, f"d{i}.png"), img)
+            _write_png(os.path.join(gt_dir, f"d{i}.png"), lab)
+            names.append(f"leftImg8bit/d{i}.png gtFine/d{i}.png")
+        with open(os.path.join(seg_root, "cs_train.lst"), "w") as f:
+            f.write("\n".join(names))
+        with open(os.path.join(seg_root, "cs_val.lst"), "w") as f:
+            f.write("\n".join(names))
+
+        from hcmoco_tpu.downstream.seg.train import main
+
+        main(["--root", seg_root, "--train_list", "cs_train.lst",
+              "--val_list", "cs_val.lst", "--dataset", "cityscapes",
+              "--num_classes", "19", "--crop", "32", "--width", "4",
+              "--epochs", "1", "--batch_size", "8", "--max_steps", "1",
+              "--print_freq", "1"])
+        out = capsys.readouterr().out
+        assert "mIoU" in out and "loss" in out
