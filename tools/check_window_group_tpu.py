@@ -110,6 +110,35 @@ def check_bq(b, n, m, s, radius, window):
           f"({per_f / max(per_w, 1e-6):.2f}x)", flush=True)
 
 
+def check_fps(b, n, npoint):
+    """Slope-time the sublane-packed FPS at a real PN shape (correctness is
+    pinned by tests/test_point_ops.py CUDA-parity on CPU)."""
+    import time
+
+    from hcmoco_tpu.ops.pallas.fps import fps_pallas
+
+    rng = np.random.default_rng(0)
+    cloud = jnp.asarray(rng.standard_normal((b, n, 3)).astype(np.float32))
+
+    def timed(reps):
+        @jax.jit
+        def run(c):
+            acc = jnp.zeros((), jnp.float32)
+            for _ in range(reps):
+                idx = fps_pallas(c + acc, npoint)
+                acc = acc + (idx.sum() % 7).astype(jnp.float32) * 1e-20
+            return acc
+
+        np.asarray(run(cloud))
+        t0 = time.perf_counter()
+        np.asarray(run(cloud))
+        return time.perf_counter() - t0
+
+    per = (timed(4) - timed(1)) / 3 * 1e3
+    print(f"OK   fps b={b} n={n} npoint={npoint}: {per:.2f} ms/call",
+          flush=True)
+
+
 def main():
     print("backend:", jax.default_backend())
     check(8, 4096, 4096, 32, 32, 480, jnp.bfloat16)   # sa0 scale-2
@@ -121,6 +150,8 @@ def main():
     check_bq(8, 4096, 4096, 32, 0.5, 480)             # sa0 scale-2
     check_bq(8, 4096, 1024, 16, 0.3, 640)             # sa1 scale-1
     check_bq(8, 4096, 1024, 32, 0.5, 896)             # sa1 scale-2
+    check_fps(64, 4096, 1024)                          # sa1 (bs64 step)
+    check_fps(64, 1024, 256)                           # sa2
     print("ALL OK")
 
 
