@@ -79,3 +79,60 @@ def test_hrnet_forward_matches_reference_bitwise_weights(width):
         denom = np.abs(want).mean()
         rel = np.abs(got - want).max() / denom
         assert rel < 2e-3, f"branch {i}: max rel err {rel}"
+
+
+def test_cmc_resnet50_forward_matches_reference():
+    """Legacy shared-trunk CMC ResNet (resnet_cmc.py): transplant the
+    reference module's exact (crc32-synthesized) weights and reproduce its
+    eval-mode pooled halves.  Golden regen: run resnet_cmc.resnet50 with
+    synth_state_dict(cmc_resnet50_torch_keys.txt, seed=7) on golden['x']."""
+    from hcmoco_tpu.models.resnet import make_cmc_resnet
+
+    golden = np.load(os.path.join(HERE, "golden",
+                                  "cmc_resnet50_forward_golden.npz"))
+    keys_path = os.path.join(HERE, "golden", "cmc_resnet50_torch_keys.txt")
+    sd = synth_state_dict(keys_path, int(golden["seed"]))
+
+    model = make_cmc_resnet("resnet50", dtype=jnp.float32)
+    x = jnp.asarray(golden["x"].transpose(0, 2, 3, 1))  # NCHW -> NHWC
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    def conv(k):
+        return jnp.asarray(sd[k].transpose(2, 3, 1, 0))  # OIHW -> HWIO
+
+    def bn(prefix):
+        return (
+            {"scale": jnp.asarray(sd[prefix + ".weight"]),
+             "bias": jnp.asarray(sd[prefix + ".bias"])},
+            {"mean": jnp.asarray(sd[prefix + ".running_mean"]),
+             "var": jnp.asarray(sd[prefix + ".running_var"])},
+        )
+
+    params = {"stem_v1": {"kernel": conv("conv1_v1.weight")},
+              "stem_v2": {"kernel": conv("conv1_v2.weight")}}
+    stats = {}
+    params["stem_bn"], stats["stem_bn"] = bn("bn1")
+    layers = (3, 4, 6, 3)
+    for li, nb in enumerate(layers):
+        for b in range(nb):
+            name = f"layer{li + 1}_block{b}"
+            t = f"layer{li + 1}.{b}"
+            blk_p, blk_s = {}, {}
+            for ci in (1, 2, 3):
+                blk_p[f"c{ci}_conv"] = {"kernel": conv(f"{t}.conv{ci}.weight")}
+                blk_p[f"c{ci}_bn"], blk_s[f"c{ci}_bn"] = bn(f"{t}.bn{ci}")
+            if b == 0:
+                blk_p["ds_conv"] = {"kernel": conv(f"{t}.downsample.0.weight")}
+                blk_p["ds_bn"], blk_s["ds_bn"] = bn(f"{t}.downsample.1")
+            params[name] = blk_p
+            stats[name] = blk_s
+
+    # every transplanted leaf must match the init tree's shape
+    chex = jax.tree_util.tree_structure(variables["params"])
+    assert jax.tree_util.tree_structure(params) == chex
+    y1, y2 = model.apply({"params": params, "batch_stats": stats}, x,
+                         train=False)
+    np.testing.assert_allclose(np.asarray(y1), golden["y1"],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(y2), golden["y2"],
+                               rtol=2e-4, atol=2e-4)
