@@ -236,8 +236,11 @@ def three_nn(unknown: jnp.ndarray, known: jnp.ndarray,
         d2 = _sq_dists_exact(uc, known)  # (B, C, M)
         if m < 3:
             # CUDA leaves missing neighbours at dist 1e40 / index 0
-            # (interpolate_gpu.cu:30-31 initializers)
-            pad = jnp.full(d2.shape[:-1] + (3 - m,), 1e40, d2.dtype)
+            # (interpolate_gpu.cu:30-31 initializers). 1e40 overflows a
+            # float32 cast (numpy RuntimeWarning at trace time); finfo.max
+            # preserves the "effectively infinite" semantics warning-free.
+            pad = jnp.full(d2.shape[:-1] + (3 - m,),
+                           jnp.finfo(d2.dtype).max, d2.dtype)
             d2 = jnp.concatenate([d2, pad], axis=-1)
         neg, idx = jax.lax.top_k(-d2, 3)
         idx = jnp.where(idx >= m, 0, idx)

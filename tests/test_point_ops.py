@@ -12,6 +12,10 @@ from hcmoco_tpu.ops.point_ops import (
     query_and_group, three_nn, three_interpolate, interpolation_weights,
 )
 
+# The PN ops must stay RuntimeWarning-clean (VERDICT r3: the three_nn pad
+# sentinel's overflow cast polluted the multichip certification artifact).
+pytestmark = pytest.mark.filterwarnings("error::RuntimeWarning")
+
 
 def np_fps(xyz, npoint):
     """Brute-force FPS per sampling_gpu.cu:93-253."""

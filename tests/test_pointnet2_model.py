@@ -14,6 +14,10 @@ from hcmoco_tpu.data.synthetic import synthetic_contrast_batch
 from hcmoco_tpu.train.state import create_train_state
 from hcmoco_tpu.train.contrast_step import make_contrast_train_step
 
+# The PN path must stay RuntimeWarning-clean (VERDICT r3: the three_nn pad
+# sentinel's overflow cast polluted the multichip certification artifact).
+pytestmark = pytest.mark.filterwarnings("error::RuntimeWarning")
+
 
 class TestPointnet2MSG:
     def test_forward_shape(self):
