@@ -136,6 +136,10 @@ def main():
     # measure the BN-vs-conv layout tradeoff end-to-end.
     if os.environ.get("BENCH_CMINOR", "0") == "1":
         os.environ["HCMOCO_CMINOR"] = "1"
+    # MFU experiment (VERDICT r3 item 5): BN stats in the 1x1 convs'
+    # matmul epilogue (ops/pallas/matmul_bn.py) — no separate stat reads.
+    if os.environ.get("BENCH_CONVBN_FUSE", "0") == "1":
+        os.environ["HCMOCO_CONVBN_FUSE"] = "1"
 
     arch = os.environ.get("BENCH_ARCH", "HRNet")
     width = int(os.environ.get("BENCH_WIDTH", "18"))
@@ -145,17 +149,28 @@ def main():
     per_chip = int(os.environ.get("BENCH_PER_CHIP", default_bs))
 
     rate, cfg = _measure(arch, width, per_chip)
-    # The reference publishes no throughput numbers (BASELINE.md); the
-    # denominator below is the BASELINE.json target's ESTIMATED 30
-    # samples/s/V100, never measured — the honest headline is `value`.
-    baseline_v100 = 30.0
+    # The reference publishes no throughput numbers (BASELINE.md), so the
+    # denominator is an ANALYTIC upper bound on its per-V100 rate
+    # (BASELINE.md "Analytic V100 bound"): measured step cost of the same
+    # math (XLA cost analysis of our full train step, 79.9 GFLOPs/sample
+    # at 320^2 W18 — tools/flops_step.py) / V100 fp32 peak (15.7 TF/s; the
+    # headline recipe passes no --amp, and fp32 V100 has no tensor-core
+    # path) x 60% achievable MFU — the well-tuned-ResNet-class ceiling,
+    # GENEROUS for HRNet's thin branches + the reference's bank gathers.
+    # vs_baseline divides by the most favorable-to-the-reference bound.
+    flops_per_sample = 79.9e9
+    v100_peak = 15.7e12
+    bound_hi = v100_peak * 0.60 / flops_per_sample  # ~118 samples/s
+    bound_lo = v100_peak * 0.30 / flops_per_sample  # ~59 samples/s
     out = {
         "metric": "hcmoco_stage1_pretrain_throughput",
         "value": round(rate, 2),
         "unit": "samples/sec/chip",
-        "vs_baseline": round(rate / baseline_v100, 3),
-        "baseline_denominator": "estimated 30 samples/s/V100 (unmeasured; "
-                                "reference publishes no numbers)",
+        "vs_baseline": round(rate / bound_hi, 3),
+        "baseline_denominator": (
+            f"analytic V100 fp32 bound {bound_hi:.0f} samples/s "
+            f"(79.9 GF/sample x 15.7 TF/s x 60% MFU; 30% MFU bound = "
+            f"{bound_lo:.0f}/s -> {rate / bound_lo:.1f}x) — BASELINE.md"),
         "batch_per_chip": cfg.batch_size // len(jax.devices()),
         "arch": cfg.arch,
         "width": cfg.width,

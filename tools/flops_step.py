@@ -1,0 +1,57 @@
+"""Measure the flagship train step's FLOPs/sample via XLA cost analysis.
+
+Feeds BASELINE.md's "Analytic V100 bound" and bench.py's vs_baseline
+denominator: the full stage-1 step (2x HRNet-W18 @320^2 + SemGCN forward,
+6-way counts-NCE, backward, SGD update, bank update) is lowered at two
+batch sizes to confirm per-sample linearity.
+
+Measured on this image (exit log /tmp/flops_step.log, 2026-08-19):
+    bs=4  319.66 G total -> 79.915 G/sample
+    bs=8  639.18 G total -> 79.897 G/sample
+Run on CPU: python tools/flops_step.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/hcmoco_jax_cache")
+
+import numpy as np  # noqa: E402
+
+from hcmoco_tpu.core.config import TrainConfig, resolve_config  # noqa: E402
+from hcmoco_tpu.models.build import build_model  # noqa: E402
+from hcmoco_tpu.train.state import create_train_state  # noqa: E402
+from hcmoco_tpu.train.contrast_step import make_contrast_train_step  # noqa: E402,E501
+from hcmoco_tpu.data.synthetic import synthetic_contrast_batch  # noqa: E402
+
+
+def main():
+    for bs in (4, 8):
+        cfg = resolve_config(TrainConfig(
+            method="CMCRGBD2S", arch="HRNet", width=18,
+            batch_size=bs, epochs=100, learning_rate=0.03, cosine=True,
+            nce_k=16384, modality_missing=True, crop_size=320,
+            compute_dtype="bfloat16"))
+        model = build_model(cfg)
+        rng = np.random.default_rng(0)
+        batch = synthetic_contrast_batch(rng, bs, size=320, num_joints=16,
+                                         n_data=8192)
+        state = create_train_state(cfg, model, jax.random.PRNGKey(0), batch,
+                                   n_data=8192, steps_per_epoch=100)
+        step = make_contrast_train_step(cfg, model, steps_per_epoch=100)
+        lowered = jax.jit(step).lower(state, batch, jax.random.PRNGKey(0))
+        cost = lowered.cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        f = float(cost.get("flops", float("nan")))
+        print(f"bs={bs} flops={f / 1e9:.2f} G  per-sample="
+              f"{f / bs / 1e9:.3f} G", flush=True)
+
+
+if __name__ == "__main__":
+    main()
