@@ -111,7 +111,7 @@ class MatmulBN(nn.Module):
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, use_running_average: bool = False):
+    def __call__(self, x, use_running_average: bool = False, stats=None):
         c = x.shape[-1]
         ra_mean = self.variable(
             "batch_stats", "mean", lambda s: jnp.zeros(s, jnp.float32), (c,))
@@ -124,7 +124,14 @@ class MatmulBN(nn.Module):
             mul = jax.lax.rsqrt(var + self.epsilon) * scale
             y = (x - mean) * mul + bias
             return y.astype(self.dtype)
-        if self.custom_vjp:
+        if stats is not None:
+            # channel sums were accumulated in the producing conv's
+            # epilogue (ops/pallas/matmul_bn.py) — no stat read here
+            from ..ops.pallas.matmul_bn import bn_apply_stats
+
+            y, mean, var = bn_apply_stats(x, stats[0], stats[1], scale,
+                                          bias, self.epsilon)
+        elif self.custom_vjp:
             y, mean, var = _bn_train_apply(x, scale, bias, self.epsilon)
         else:
             xf = x.astype(jnp.float32).reshape(-1, c)
@@ -163,6 +170,26 @@ def _bn_matmul_mode() -> int:
 
 def _cminor_enabled() -> bool:
     return os.environ.get("HCMOCO_CMINOR", "0") == "1"
+
+
+def _convbn_fuse_enabled() -> bool:
+    """HCMOCO_CONVBN_FUSE=1: compute BN channel sums in the epilogue of the
+    producing 1x1 conv (ops/pallas/matmul_bn.py) instead of re-reading the
+    activation with two stat dots — the traffic-elimination MFU experiment
+    (VERDICT r3 item 5).  Off by default until measured."""
+    return os.environ.get("HCMOCO_CONVBN_FUSE", "0") == "1"
+
+
+class _Conv1x1Kernel(nn.Module):
+    """Declares the same params/conv/kernel variable nn.Conv would, for the
+    fused matmul path (module is named "conv" so checkpoints interchange)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (1, 1, cin, self.features), jnp.float32)
 
 
 def _constrain_cminor(x: jnp.ndarray) -> jnp.ndarray:
@@ -209,6 +236,30 @@ class ConvBN(nn.Module):
         feats = self.features
         if self.pad_to:
             feats = -(-feats // self.pad_to) * self.pad_to
+        from jax.ad_checkpoint import checkpoint_name
+
+        if (_convbn_fuse_enabled() and self.kernel == 1
+                and self.stride == 1 and not self.pad_to and train):
+            # 1x1 conv == matmul: BN channel sums come out of the conv's
+            # epilogue for free instead of two stat-dot re-reads of the
+            # activation (ops/pallas/matmul_bn.py docstring has the
+            # traffic accounting).  Same param tree as the nn.Conv path.
+            from ..ops.pallas.matmul_bn import conv1x1_bn_stats
+
+            kern = _Conv1x1Kernel(feats, name="conv")(x.shape[-1])
+            b, h, w, cin = x.shape
+            y2d, s1, s2 = conv1x1_bn_stats(
+                x.astype(self.dtype).reshape(-1, cin),
+                kern.reshape(cin, feats).astype(self.dtype))
+            y = y2d.reshape(b, h, w, feats)
+            y = checkpoint_name(y, "conv_out")
+            y = MatmulBN(momentum=self.bn_momentum, epsilon=1e-5,
+                         dtype=self.dtype, name="bn")(
+                             y, use_running_average=False, stats=(s1, s2))
+            if self.use_relu:
+                y = nn.relu(y)
+            return y
+
         x = nn.Conv(
             feats,
             (self.kernel, self.kernel),
@@ -222,8 +273,6 @@ class ConvBN(nn.Module):
         # these pre-BN conv outputs for the backward pass and recomputes the
         # cheap BN/ReLU elementwise ops — larger batches without re-running
         # any convolution (cf. CLAUDE.md round-1: full remat recompute lost)
-        from jax.ad_checkpoint import checkpoint_name
-
         if _cminor_enabled():
             x = _constrain_cminor(x)
         x = checkpoint_name(x, "conv_out")

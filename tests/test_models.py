@@ -263,6 +263,75 @@ class TestMatmulBN:
             np.testing.assert_allclose(b, a, rtol=5e-4, atol=5e-5)
 
 
+class TestConvBNFuse:
+    """HCMOCO_CONVBN_FUSE=1 (conv-epilogue BN stats, the VERDICT-r3 MFU
+    experiment) must be math-equivalent to the unfused ConvBN at the 1x1
+    sites it rewrites: same param tree, same forward/batch_stats, same
+    grads to f32 rounding (ops/pallas/matmul_bn.py)."""
+
+    def _run(self, monkeypatch, fuse: bool, kernel: int = 1):
+        from hcmoco_tpu.models.hrnet import ConvBN
+
+        if fuse:
+            monkeypatch.setenv("HCMOCO_CONVBN_FUSE", "1")
+        else:
+            monkeypatch.delenv("HCMOCO_CONVBN_FUSE", raising=False)
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 12),
+                              jnp.float32) * 1.5 + 0.3
+        cb = ConvBN(20, kernel, 1, use_relu=True, dtype=jnp.float32)
+        v = cb.init(jax.random.PRNGKey(0), x, train=True)
+
+        def loss(params, xx):
+            y, mut = cb.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                xx, train=True, mutable=["batch_stats"])
+            return jnp.sum(y * y), (y, mut)
+
+        (l, (y, mut)), g = jax.value_and_grad(loss, has_aux=True)(
+            v["params"], x)
+        return v, l, y, mut, g
+
+    def test_fused_matches_unfused(self, monkeypatch):
+        v0, l0, y0, m0, g0 = self._run(monkeypatch, fuse=False)
+        v1, l1, y1, m1, g1 = self._run(monkeypatch, fuse=True)
+        assert (jax.tree_util.tree_structure(v0)
+                == jax.tree_util.tree_structure(v1))
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                                   rtol=2e-5, atol=2e-5)
+        for a, b in zip(jax.tree_util.tree_leaves(m0),
+                        jax.tree_util.tree_leaves(m1)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=2e-5, atol=2e-6)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       rtol=5e-4, atol=5e-5)
+
+    def test_3x3_sites_unaffected(self, monkeypatch):
+        """The fuse flag must leave non-1x1 ConvBN sites bit-identical."""
+        v0, l0, y0, m0, g0 = self._run(monkeypatch, fuse=False, kernel=3)
+        v1, l1, y1, m1, g1 = self._run(monkeypatch, fuse=True, kernel=3)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y0))
+
+    def test_row_padding_exact(self, monkeypatch):
+        """R % tile != 0 exercises the kernel's zero-row padding: the sums
+        and outputs must be unaffected by the pad rows."""
+        from hcmoco_tpu.ops.pallas.matmul_bn import conv1x1_bn_stats
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((130, 12)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((12, 20)).astype(np.float32))
+        y, s1, s2 = conv1x1_bn_stats(x, w, 64)
+        y_ref = x @ w
+        np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(s1),
+                                   np.asarray(y_ref.sum(0)), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(s2),
+                                   np.asarray((y_ref * y_ref).sum(0)),
+                                   rtol=1e-5)
+
+
 class TestHeads:
     def test_l2_normalize(self):
         x = jnp.array([[3.0, 4.0]])
