@@ -152,16 +152,16 @@ def main():
     # The reference publishes no throughput numbers (BASELINE.md), so the
     # denominator is an ANALYTIC upper bound on its per-V100 rate
     # (BASELINE.md "Analytic V100 bound"): measured step cost of the same
-    # math (XLA cost analysis of our full train step, 79.9 GFLOPs/sample
-    # at 320^2 W18 — tools/flops_step.py) / V100 fp32 peak (15.7 TF/s; the
-    # headline recipe passes no --amp, and fp32 V100 has no tensor-core
-    # path) x 60% achievable MFU — the well-tuned-ResNet-class ceiling,
+    # math (XLA cost analysis of our full train step per arch —
+    # tools/flops_step.py) / V100 fp32 peak (15.7 TF/s; the headline
+    # recipe passes no --amp, and fp32 V100 has no tensor-core path)
+    # x 60% achievable MFU — the well-tuned-ResNet-class ceiling,
     # GENEROUS for HRNet's thin branches + the reference's bank gathers.
     # vs_baseline divides by the most favorable-to-the-reference bound.
-    flops_per_sample = 79.9e9
+    flops_per_sample = {"HRNet": 79.9e9, "HRNetPN": 111.3e9}[arch]
     v100_peak = 15.7e12
-    bound_hi = v100_peak * 0.60 / flops_per_sample  # ~118 samples/s
-    bound_lo = v100_peak * 0.30 / flops_per_sample  # ~59 samples/s
+    bound_hi = v100_peak * 0.60 / flops_per_sample
+    bound_lo = v100_peak * 0.30 / flops_per_sample
     out = {
         "metric": "hcmoco_stage1_pretrain_throughput",
         "value": round(rate, 2),
@@ -169,8 +169,9 @@ def main():
         "vs_baseline": round(rate / bound_hi, 3),
         "baseline_denominator": (
             f"analytic V100 fp32 bound {bound_hi:.0f} samples/s "
-            f"(79.9 GF/sample x 15.7 TF/s x 60% MFU; 30% MFU bound = "
-            f"{bound_lo:.0f}/s -> {rate / bound_lo:.1f}x) — BASELINE.md"),
+            f"({flops_per_sample / 1e9:.1f} GF/sample x 15.7 TF/s x 60% "
+            f"MFU; 30% MFU bound = {bound_lo:.0f}/s -> "
+            f"{rate / bound_lo:.1f}x) — BASELINE.md"),
         "batch_per_chip": cfg.batch_size // len(jax.devices()),
         "arch": cfg.arch,
         "width": cfg.width,

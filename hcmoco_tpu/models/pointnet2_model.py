@@ -176,9 +176,12 @@ class SAModuleMSG(nn.Module):
         for i, (r, s) in enumerate(zip(self.radii, self.nsamples)):
             # same measured locality windows the grouping kernel tiles on;
             # exact (violation fallback inside ball_query_windowed).
-            # Opt-in until measured on-chip: HCMOCO_BQ_WINDOW=1.
+            # Default ON since measured on-chip (round 4): bench 116.5 vs
+            # 111.7 samples/s/chip @bs64 (+4.3%), exact at all SA shapes
+            # (tools/check_window_group_tpu.py). HCMOCO_BQ_WINDOW=0 opts
+            # back into the full-range sweep.
             bq_win = (self.windows[i] if i < len(self.windows) else 0) \
-                if os.environ.get("HCMOCO_BQ_WINDOW", "0") == "1" else 0
+                if os.environ.get("HCMOCO_BQ_WINDOW", "1") == "1" else 0
             gidx = ball_query(xyz, new_xyz, r, s, impl=self.point_impl,
                               window=bq_win)
 

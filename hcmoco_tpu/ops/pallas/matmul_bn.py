@@ -172,9 +172,12 @@ def _bn_apply_bwd(eps, res, cts):
     # out = (y - s1/R) * rstd(var(s1, s2)) * scale + bias
     dmean = -rstd * scale * dbias + dmean_ct
     dvar = -0.5 * rstd * rstd * scale * dscale + dvar_ct
-    # mean = s1/R; var = s2/R - (s1/R)^2
-    ds1 = dmean / r + dvar * (-2.0 * s1 / (r * r))
-    ds2 = dvar / r
+    # mean = s1/R; var = s2/R - (s1/R)^2.  R^2 as float: at real shapes
+    # (R = B*H*W = 819200) the Python-int R*R overflows the i32 weak-typed
+    # jit argument.
+    rf = float(r)
+    ds1 = dmean / rf + dvar * (-2.0 * s1 / rf / rf)
+    ds2 = dvar / rf
     return dy, ds1, ds2, dscale, dbias
 
 

@@ -6,11 +6,20 @@ denominator: the full stage-1 step (2x HRNet-W18 @320^2 + SemGCN forward,
 batch sizes to confirm per-sample linearity.
 
 Measured on this image (exit log /tmp/flops_step.log, 2026-08-19):
-    bs=4  319.66 G total -> 79.915 G/sample
-    bs=8  639.18 G total -> 79.897 G/sample
-Run on CPU: python tools/flops_step.py
+    HRNet    bs=4  319.66 G total -> 79.915 G/sample
+    HRNet    bs=8  639.18 G total -> 79.897 G/sample
+    HRNetPN  bs=4  445.37 G total -> 111.342 G/sample
+    HRNetPN  bs=8  890.66 G total -> 111.332 G/sample
+Run on CPU: python tools/flops_step.py [--arch HRNetPN]
+
+For HRNetPN the Pallas point kernels lower in interpret mode on CPU;
+their FLOPs contribution (FPS distance updates, ball-query compares) is
+O(N^2) compares, not MACs, and is negligible next to the conv/matmul
+count, so the cost-analysis number is the right MXU-relevant numerator
+for an MFU/V100 bound either way.
 """
 
+import argparse
 import os
 import sys
 
@@ -31,9 +40,13 @@ from hcmoco_tpu.data.synthetic import synthetic_contrast_batch  # noqa: E402
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--arch", default="HRNet",
+                    choices=["HRNet", "HRNetPN"])
+    arch = ap.parse_args().arch
     for bs in (4, 8):
         cfg = resolve_config(TrainConfig(
-            method="CMCRGBD2S", arch="HRNet", width=18,
+            method="CMCRGBD2S", arch=arch, width=18,
             batch_size=bs, epochs=100, learning_rate=0.03, cosine=True,
             nce_k=16384, modality_missing=True, crop_size=320,
             compute_dtype="bfloat16"))
