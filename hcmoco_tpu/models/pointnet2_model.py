@@ -49,6 +49,13 @@ NSAMPLE = ((16, 32), (16, 32), (16, 32), (16, 32))
 MLPS = (((16, 32), (32, 64)), ((64, 128), (64, 128)),
         ((128, 256), (128, 256)), ((256, 512), (256, 512)))
 FP_MLPS = ((128, 128), (256, 256), (512, 512), (512, 512))
+# half-windows (KNOWN-table rows) for the windowed weighted-interpolate
+# kernel, per FP level: 2x the max |idx - floor(q*M/N)| measured on
+# representative smooth-depth batches over 3 seeds
+# (tools/measure_fp_window.py: valid-cloud maxima 334/132/46/18).
+# Zero clouds are row-uniform -> clamp-exact; anything else out-of-window
+# falls back to the exact XLA path automatically.
+FP_WINDOWS = (512, 256, 128, 64)
 # half-windows (table rows) for the windowed one-hot grouping kernel, per
 # SA level x scale: 2x the max |idx - linear_base| measured on
 # representative smooth-depth batches (tools/measure_group_window.py).
@@ -204,6 +211,9 @@ class FPModule(nn.Module):
 
     mlp: Sequence[int]
     point_impl: str = "xla"
+    # half-window (known-table rows) for the windowed weighted-interpolate
+    # kernel (0 = plain XLA gather); see FP_WINDOWS
+    window: int = 0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -211,7 +221,12 @@ class FPModule(nn.Module):
                  train: bool):
         dist2, idx = three_nn(unknown, known, impl=self.point_impl)
         weight = interpolation_weights(dist2)
-        interp = three_interpolate(known_feats, idx, weight)
+        # opt-in until measured on-chip: HCMOCO_FP_WINDOW=1
+        fp_win = self.window \
+            if os.environ.get("HCMOCO_FP_WINDOW", "0") == "1" else 0
+        interp = three_interpolate(
+            known_feats, idx, weight, window=fp_win,
+            force_window=os.environ.get("HCMOCO_PN_FORCE_WG") == "1")
         if unknown_feats is not None:
             interp = jnp.concatenate([interp, unknown_feats], axis=-1)
         return SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(
@@ -251,7 +266,8 @@ class Pointnet2MSG(nn.Module):
 
         for i in range(len(FP_MLPS) - 1, -1, -1):
             fp = FPModule(FP_MLPS[i], point_impl=self.point_impl,
-                          dtype=self.dtype, name=f"fp{i}")
+                          window=FP_WINDOWS[i], dtype=self.dtype,
+                          name=f"fp{i}")
             l_feats[i] = fp(l_xyz[i], l_xyz[i + 1], l_feats[i],
                             l_feats[i + 1], train)
         return l_feats[0]

@@ -258,9 +258,20 @@ def three_nn(unknown: jnp.ndarray, known: jnp.ndarray,
 
 
 def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
-                      weight: jnp.ndarray) -> jnp.ndarray:
+                      weight: jnp.ndarray, window: int = 0,
+                      force_window: bool = False) -> jnp.ndarray:
     """(B, M, C), (B, N, 3), (B, N, 3) -> (B, N, C) weighted gather
-    (interpolate_gpu.cu:77-107); grad = scatter-add via autodiff."""
+    (interpolate_gpu.cu:77-107); grad = scatter-add via autodiff.
+
+    window > 0: on TPU, run the windowed weighted one-hot MXU kernel
+    (ops/pallas/window_interp.py) behind a whole-batch exactness cond —
+    the FP tables are raster-ordered so 3-NN indices live near the
+    linear base floor(q*M/N) (tools/measure_fp_window.py)."""
+    if window > 0:
+        from .pallas.window_interp import window_interpolate
+
+        return window_interpolate(features, idx, weight, window=window,
+                                  force=force_window)
     b, n, _ = idx.shape
     g = jnp.take_along_axis(
         features, idx.reshape(b, n * 3, 1).astype(jnp.int32), axis=1)
