@@ -158,7 +158,14 @@ def main():
     # x 60% achievable MFU — the well-tuned-ResNet-class ceiling,
     # GENEROUS for HRNet's thin branches + the reference's bank gathers.
     # vs_baseline divides by the most favorable-to-the-reference bound.
-    flops_per_sample = {"HRNet": 79.9e9, "HRNetPN": 111.3e9}[arch]
+    flops_per_sample = {
+        ("HRNet", 18): 79.9e9,   # tools/flops_step.py, bs-linear
+        ("HRNet", 48): 385.0e9,  # tools/flops_step.py --width 48
+        ("HRNetPN", 18): 111.3e9,
+    }.get((arch, width))
+    if flops_per_sample is None:  # unmeasured width: scale by conv FLOPs
+        flops_per_sample = {"HRNet": 79.9e9, "HRNetPN": 111.3e9}[arch] \
+            * (width / 18) ** 2
     v100_peak = 15.7e12
     bound_hi = v100_peak * 0.60 / flops_per_sample
     bound_lo = v100_peak * 0.30 / flops_per_sample

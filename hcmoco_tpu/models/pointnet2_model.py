@@ -273,6 +273,38 @@ class Pointnet2MSG(nn.Module):
         return l_feats[0]
 
 
+def _blocked_searchsorted(cdf: jnp.ndarray, u: jnp.ndarray,
+                          block: int = 128) -> jnp.ndarray:
+    """Exact two-level searchsorted(cdf, u, side='right') per batch row.
+
+    XLA lowers the flat vmapped searchsorted over the 102400-entry cdf as
+    a 17-iteration binary search whose every iteration gathers 4 B per
+    query from the full row — 45 ms/step at bs64 (the #1 single op of the
+    round-4 HRNetPN profile).  Blocked: (A) searchsorted over the 800
+    block-LAST values (3 KB — cache/VMEM resident, 10 cheap iterations),
+    then (B) one take_along_axis of each query's 128-lane block (512 B
+    contiguous rows — the gather width that's fast on TPU HBM) and a
+    vectorized compare-count.  Identity: searchsorted-right == count of
+    entries <= u; a block whose last value is <= u contributes all
+    `block` entries (cdf monotone), the first block with last > u
+    contributes its in-block count.  Bit-identical to jnp.searchsorted
+    for every u (tests/test_pointnet2_model.py::test_blocked_searchsorted).
+    """
+    b, n = cdf.shape
+    if n % block:
+        return jax.vmap(
+            lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    nb = n // block
+    cblk = cdf.reshape(b, nb, block)
+    blast = cblk[:, :, -1]  # (B, NB) block-last values, monotone
+    idx_a = jax.vmap(
+        lambda c, uu: jnp.searchsorted(c, uu, side="right"))(blast, u)
+    idx_a = jnp.minimum(idx_a, nb - 1)  # u beyond the last block counts in it
+    rows = jnp.take_along_axis(cblk, idx_a[..., None], axis=1)  # (B, Q, blk)
+    cnt = jnp.sum((rows <= u[..., None]).astype(jnp.int32), axis=-1)
+    return idx_a * block + cnt
+
+
 def depth2pts(depth: jnp.ndarray, depth_mask: jnp.ndarray,
               grid_xy: jnp.ndarray, ori_h: float, ori_w: float,
               mean: jnp.ndarray, rng: jax.Array,
@@ -316,8 +348,13 @@ def depth2pts(depth: jnp.ndarray, depth_mask: jnp.ndarray,
     # HCMOCO_PN_NOSORT=1 restores draw order for A/B measurement.
     if os.environ.get("HCMOCO_PN_NOSORT", "0") != "1":
         u = jnp.sort(u, axis=-1)
-    sample_ind = jax.vmap(
-        lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+    if os.environ.get("HCMOCO_SS_BLOCKED", "1") == "1":
+        # exact blocked reformulation (same values for every u; see
+        # _blocked_searchsorted) — A/B knob HCMOCO_SS_BLOCKED=0
+        sample_ind = _blocked_searchsorted(cdf, u)
+    else:
+        sample_ind = jax.vmap(
+            lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
     sample_ind = jnp.clip(sample_ind, 0, h * w - 1).astype(jnp.int32)
     sampled = jnp.take_along_axis(pts, sample_ind[..., None], axis=1)
     zero = jnp.zeros_like(sampled)

@@ -154,6 +154,11 @@ def _bn_apply_fwd(y, s1, s2, scale, bias, eps):
     var = jnp.maximum(0.0, s2 / r - mean * mean)
     rstd = jax.lax.rsqrt(var + eps)
     out = (y.astype(jnp.float32) - mean) * (rstd * scale) + bias
+    # emit in y's dtype: custom_vjp outputs materialize, and an f32 copy
+    # of every 1x1 activation doubled the HBM residency at bs128 (the
+    # caller rounds to compute dtype right after anyway; rounding inside
+    # is the same value, and the cotangent path is unchanged).
+    out = out.astype(y.dtype)
     return (out, mean, var), (y, s1, mean, rstd, scale)
 
 

@@ -133,6 +133,58 @@ class TestDepthBackprojection:
                                     jnp.ones((b,)), jax.random.PRNGKey(0), 8)
         np.testing.assert_allclose(np.asarray(sampled), 0.0)
 
+    def test_blocked_searchsorted_bit_identical(self):
+        """_blocked_searchsorted must equal jnp.searchsorted(side='right')
+        for EVERY u, including exact-tie values and u beyond the last cdf
+        entry (it replaces the flat 17-iteration binary search that was
+        the #1 single op of the round-4 HRNetPN profile)."""
+        from hcmoco_tpu.models.pointnet2_model import _blocked_searchsorted
+
+        rng = np.random.default_rng(0)
+        b, n, q = 3, 1024, 257
+        mask = (rng.random((b, n)) < 0.3).astype(np.float32)
+        mask[1] = 0.0  # zero-cloud row: cdf all zeros
+        cdf = jnp.cumsum(jnp.asarray(mask), axis=-1)
+        total = np.asarray(cdf[:, -1])
+        u = rng.random((b, q)).astype(np.float32) * \
+            np.maximum(total, 1.0)[:, None]
+        # adversarial values: exact integer ties, 0, the total itself
+        u[:, 0] = 0.0
+        u[:, 1] = 1.0
+        u[:, 2] = np.maximum(total - 1.0, 0.0)
+        u[:, 3] = total
+        u = jnp.sort(jnp.asarray(u), axis=-1)
+        ref = jax.vmap(
+            lambda c, uu: jnp.searchsorted(c, uu, side="right"))(cdf, u)
+        for block in (128, 64):
+            got = _blocked_searchsorted(cdf, u, block=block)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        # untileable width falls back to the flat path
+        got = _blocked_searchsorted(cdf[:, :1000], u, block=128)
+        ref2 = jax.vmap(lambda c, uu: jnp.searchsorted(
+            c, uu, side="right"))(cdf[:, :1000], u)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref2))
+
+    def test_depth2pts_blocked_vs_flat_sampler(self, monkeypatch):
+        """depth2pts must produce identical samples with the blocked and
+        flat searchsorted paths."""
+        b, s = 2, 16
+        rng = np.random.default_rng(1)
+        depth = jnp.asarray(rng.random((b, s, s)).astype(np.float32))
+        mask = jnp.asarray((rng.random((b, s, s)) < 0.5)
+                           .astype(np.float32))
+        grid = jnp.zeros((b, s, s, 2))
+        outs = []
+        for flag in ("1", "0"):
+            monkeypatch.setenv("HCMOCO_SS_BLOCKED", flag)
+            outs.append(depth2pts(depth, mask, grid, 424.0, 512.0,
+                                  jnp.ones((b,)), jax.random.PRNGKey(0),
+                                  32))
+        np.testing.assert_array_equal(np.asarray(outs[0][2]),
+                                      np.asarray(outs[1][2]))
+        np.testing.assert_array_equal(np.asarray(outs[0][0]),
+                                      np.asarray(outs[1][0]))
+
     def test_pts2depth_roundtrip(self):
         # features at the points themselves interpolate back ~exactly
         b, n, c = 1, 16, 4

@@ -43,10 +43,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--arch", default="HRNet",
                     choices=["HRNet", "HRNetPN"])
-    arch = ap.parse_args().arch
+    ap.add_argument("--width", type=int, default=18)
+    args = ap.parse_args()
+    arch = args.arch
     for bs in (4, 8):
         cfg = resolve_config(TrainConfig(
-            method="CMCRGBD2S", arch=arch, width=18,
+            method="CMCRGBD2S", arch=arch, width=args.width,
             batch_size=bs, epochs=100, learning_rate=0.03, cosine=True,
             nce_k=16384, modality_missing=True, crop_size=320,
             compute_dtype="bfloat16"))
