@@ -221,12 +221,14 @@ class FPModule(nn.Module):
                  train: bool):
         dist2, idx = three_nn(unknown, known, impl=self.point_impl)
         weight = interpolation_weights(dist2)
-        # opt-in until measured on-chip: HCMOCO_FP_WINDOW=1
-        fp_win = self.window \
-            if os.environ.get("HCMOCO_FP_WINDOW", "0") == "1" else 0
+        # opt-in until measured on-chip: HCMOCO_FP_WINDOW=1 (full Pallas
+        # fwd+bwd, e2e -1%) or =fwd (hybrid: Pallas fwd + XLA scatter bwd)
+        fp_env = os.environ.get("HCMOCO_FP_WINDOW", "0")
+        fp_win = self.window if fp_env in ("1", "fwd") else 0
         interp = three_interpolate(
             known_feats, idx, weight, window=fp_win,
-            force_window=os.environ.get("HCMOCO_PN_FORCE_WG") == "1")
+            force_window=os.environ.get("HCMOCO_PN_FORCE_WG") == "1",
+            window_bwd="xla" if fp_env == "fwd" else "kernel")
         if unknown_feats is not None:
             interp = jnp.concatenate([interp, unknown_feats], axis=-1)
         return SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(

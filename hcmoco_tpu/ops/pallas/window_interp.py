@@ -176,6 +176,37 @@ def _windowed_interp_bwd(w, tn, m, interpret, res, gout):
 _windowed_interp.defvjp(_windowed_interp_fwd, _windowed_interp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _windowed_interp_xbwd(table_pad, idx, wgt, w, tn, m, interpret):
+    out, _ = _windowed_interp_fwd(table_pad, idx, wgt, w, tn, m, interpret)
+    return out
+
+
+def _windowed_interp_xbwd_bwd(w, tn, m, interpret, res, gout):
+    """Hybrid backward: XLA sort-based scatter-add instead of the
+    sequential-grid Pallas kernel (the r4 e2e A/B showed the full kernel
+    pair loses 1% despite 5-6x isolated forward wins — suspect the bwd).
+
+    Scatters weight[q,k]*gout[q] at the TRUE (unclamped) rows: identical
+    to the kernel's clamped scatter whenever the fast path engages (no
+    non-row-uniform violations puts every index inside its window), and
+    the exact mathematical gradient regardless."""
+    idx, wgt, dtype_token = res
+    b, n, c = gout.shape
+    mpad = m + 2 * w
+    g = (gout[:, :, None, :].astype(jnp.float32)
+         * wgt[..., None]).reshape(b, n * 3, c)
+    rows = (idx.reshape(b, n * 3) + w).astype(jnp.int32)
+    grad_pad = jnp.zeros((b, mpad, c), jnp.float32)
+    grad_pad = jax.vmap(lambda gp, r, v: gp.at[r].add(v))(grad_pad, rows, g)
+    return (grad_pad.astype(dtype_token.dtype),
+            np.zeros(idx.shape, dtype=jax.dtypes.float0),
+            jnp.zeros(wgt.shape, wgt.dtype))
+
+
+_windowed_interp_xbwd.defvjp(_windowed_interp_fwd, _windowed_interp_xbwd_bwd)
+
+
 def _xla_interp(features, idx, weight):
     b, n, _ = idx.shape
     g = jnp.take_along_axis(
@@ -186,7 +217,8 @@ def _xla_interp(features, idx, weight):
 
 def window_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
                        weight: jnp.ndarray, *, window: int,
-                       tn: int = 256, force: bool = False) -> jnp.ndarray:
+                       tn: int = 256, force: bool = False,
+                       bwd: str = "kernel") -> jnp.ndarray:
     """features (B, M, C), idx (B, N, 3) in [0, M), weight (B, N, 3) ->
     (B, N, C) = sum_k weight[..k] * features[idx[..k]].
 
@@ -194,7 +226,9 @@ def window_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
     behind a whole-batch exactness cond; otherwise (or when shapes don't
     tile) the plain XLA gather path runs.  `window` is the half-window in
     known-table rows around the static per-tile base floor(q*M/N); `tn`
-    is unknown points per tile.
+    is unknown points per tile.  `bwd` picks the gradient path: 'kernel'
+    (Pallas A^T@gout into a VMEM grad table) or 'xla' (sort-based
+    scatter-add — the hybrid mode, windowed fwd only).
     """
     b, m, c = features.shape
     n = idx.shape[1]
@@ -220,8 +254,10 @@ def window_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
     wgt = weight.astype(jnp.float32)
     interpret = not on_tpu
 
+    kern = _windowed_interp if bwd == "kernel" else _windowed_interp_xbwd
+
     def fast(tab_p, gi, gw):
-        return _windowed_interp(tab_p, gi, gw, window, tn, m, interpret)
+        return kern(tab_p, gi, gw, window, tn, m, interpret)
 
     def slow(tab_p, gi, gw):
         return _xla_interp(tab_p[:, window:window + m, :], gi,

@@ -259,19 +259,21 @@ def three_nn(unknown: jnp.ndarray, known: jnp.ndarray,
 
 def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
                       weight: jnp.ndarray, window: int = 0,
-                      force_window: bool = False) -> jnp.ndarray:
+                      force_window: bool = False,
+                      window_bwd: str = "kernel") -> jnp.ndarray:
     """(B, M, C), (B, N, 3), (B, N, 3) -> (B, N, C) weighted gather
     (interpolate_gpu.cu:77-107); grad = scatter-add via autodiff.
 
     window > 0: on TPU, run the windowed weighted one-hot MXU kernel
     (ops/pallas/window_interp.py) behind a whole-batch exactness cond —
     the FP tables are raster-ordered so 3-NN indices live near the
-    linear base floor(q*M/N) (tools/measure_fp_window.py)."""
+    linear base floor(q*M/N) (tools/measure_fp_window.py).  window_bwd
+    picks the kernel's gradient path ('kernel' | 'xla' hybrid)."""
     if window > 0:
         from .pallas.window_interp import window_interpolate
 
         return window_interpolate(features, idx, weight, window=window,
-                                  force=force_window)
+                                  force=force_window, bwd=window_bwd)
     b, n, _ = idx.shape
     g = jnp.take_along_axis(
         features, idx.reshape(b, n * 3, 1).astype(jnp.int32), axis=1)

@@ -60,6 +60,34 @@ class TestWindowInterpolate:
         np.testing.assert_allclose(np.asarray(g_win), np.asarray(g_xla),
                                    rtol=1e-5, atol=1e-5)
 
+    def test_hybrid_xla_bwd_grad_matches(self):
+        """bwd='xla' (hybrid: windowed fwd + XLA scatter bwd) must give
+        the same features-grad as both the kernel bwd and the plain XLA
+        path, and the same forward values."""
+        rng = np.random.default_rng(8)
+        n, m, c = 256, 64, 16
+        feats = jnp.asarray(rng.standard_normal((2, m, c)).astype(np.float32))
+        idx, w = _local_idx_wgt(rng, 2, n, m, spread=10)
+        cot = jnp.asarray(rng.standard_normal((2, n, c)).astype(np.float32))
+
+        def loss(f, bwd):
+            return jnp.sum(window_interpolate(
+                f, idx, w, window=16, tn=64, force=True, bwd=bwd) * cot)
+
+        out_h = window_interpolate(feats, idx, w, window=16, tn=64,
+                                   force=True, bwd="xla")
+        np.testing.assert_allclose(np.asarray(out_h),
+                                   np.asarray(_xla_interp(feats, idx, w)),
+                                   rtol=1e-6, atol=1e-6)
+        g_h = jax.grad(lambda f: loss(f, "xla"))(feats)
+        g_k = jax.grad(lambda f: loss(f, "kernel"))(feats)
+        g_xla = jax.grad(lambda f: jnp.sum(_xla_interp(f, idx, w)
+                                           * cot))(feats)
+        np.testing.assert_allclose(np.asarray(g_h), np.asarray(g_xla),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(g_h), np.asarray(g_k),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_weight_cotangent_is_zero_and_unused(self):
         """The kernel declares zero weight-grad (reference three_nn has no
         backward); assert the declared cotangent is exactly zero so any
