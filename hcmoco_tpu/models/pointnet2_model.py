@@ -50,12 +50,18 @@ MLPS = (((16, 32), (32, 64)), ((64, 128), (64, 128)),
         ((128, 256), (128, 256)), ((256, 512), (256, 512)))
 FP_MLPS = ((128, 128), (256, 256), (512, 512), (512, 512))
 # half-windows (KNOWN-table rows) for the windowed weighted-interpolate
-# kernel, per FP level: 2x the max |idx - floor(q*M/N)| measured on
-# representative smooth-depth batches over 3 seeds
-# (tools/measure_fp_window.py: valid-cloud maxima 334/132/46/18).
-# Zero clouds are row-uniform -> clamp-exact; anything else out-of-window
-# falls back to the exact XLA path automatically.
-FP_WINDOWS = (512, 256, 128, 64)
+# kernel, per FP level, sized against the BENCH operating shape (b=64,
+# crop 320, n_data=8192) over 8 depth2pts sampling keys
+# (tools/measure_fp_window.py: valid-cloud maxima 663/228/81/23).  The
+# original 2x-of-3-seed-b4 windows (512/256/128/64) were violated by the
+# b=64 tail at FP0 in 2/8 keys — ONE bad sample trips the whole-batch
+# exactness cond, so the kernel silently never engaged e2e (round-4
+# xplane evidence: zero windowed_interp custom-calls under
+# HCMOCO_FP_WINDOW=1 while the XLA FP scatter fusions kept their full
+# default-profile self-times).  Zero clouds are row-uniform ->
+# clamp-exact; anything else out-of-window falls back to the exact XLA
+# path automatically, costing ~25 ms for that step only.
+FP_WINDOWS = (1024, 384, 192, 64)
 # half-windows (table rows) for the windowed one-hot grouping kernel, per
 # SA level x scale: 2x the max |idx - linear_base| measured on
 # representative smooth-depth batches (tools/measure_group_window.py).
@@ -299,8 +305,19 @@ def _blocked_searchsorted(cdf: jnp.ndarray, u: jnp.ndarray,
     nb = n // block
     cblk = cdf.reshape(b, nb, block)
     blast = cblk[:, :, -1]  # (B, NB) block-last values, monotone
-    idx_a = jax.vmap(
-        lambda c, uu: jnp.searchsorted(c, uu, side="right"))(blast, u)
+    if os.environ.get("HCMOCO_SS_COARSE", "count") == "count":
+        # searchsorted(side='right') == #{k: blast[k] <= u} by definition;
+        # at NB=800 the fused broadcast compare-count (B*Q*NB ~ 210M VPU
+        # ops, reduced along the minor dim so the (B, Q, NB) bools never
+        # hit HBM) beats XLA's 10-iteration binary search, whose every
+        # iteration is a 4 B random gather per query (26.6 ms/step of the
+        # round-4 profile lived in that loop). HCMOCO_SS_COARSE=binary
+        # restores the searchsorted lowering for A/B.
+        idx_a = jnp.sum(
+            (blast[:, None, :] <= u[..., None]).astype(jnp.int32), axis=-1)
+    else:
+        idx_a = jax.vmap(
+            lambda c, uu: jnp.searchsorted(c, uu, side="right"))(blast, u)
     idx_a = jnp.minimum(idx_a, nb - 1)  # u beyond the last block counts in it
     rows = jnp.take_along_axis(cblk, idx_a[..., None], axis=1)  # (B, Q, blk)
     cnt = jnp.sum((rows <= u[..., None]).astype(jnp.int32), axis=-1)

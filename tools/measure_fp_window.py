@@ -10,12 +10,22 @@ floor(q*M/N) — the feasibility condition for replacing the FP gather /
 backward scatter (~57 ms/step of the round-4 bs64 HRNetPN profile) with
 windowed weighted one-hot matmuls on the MXU (ops/pallas/window_interp).
 
-Prints, per FP level, quantiles of |idx - q*M/N| (in KNOWN-table rows)
-and the fraction outside candidate windows, split by valid vs zero-cloud
-samples (zero clouds are row-uniform -> clamping is exact, same argument
-as window_group).
+Evaluates BOTH statistics:
+  - per-point deviation |idx - floor(q*M/N)| quantiles (window sizing)
+  - the kernel's ACTUAL per-tile predicate (window_interp.py: idx within
+    [tbase - W, tbase - W + TW), tbase = (q // TN) * TS) — the fraction
+    of whole BATCHES that would trip the exactness cond per level, which
+    is what decides whether the kernel engages end to end.
 
-Run: PYTHONPATH=. python tools/measure_fp_window.py [batch=4]
+METHODOLOGY NOTE (round 4): the windows must be sized at the REAL
+operating shape.  The original 3-seed b=4 n_data=4096 measurement gave
+maxima 334/132/46/18 and 2x windows (512/256/128/64); at the bench shape
+(b=64, crop 320, n_data=8192) the valid-cloud tail reaches 663/228/81/23
+over 8 sampling keys, and ONE out-of-window sample trips the whole-batch
+cond — so the kernel never engaged until the windows were re-sized to
+1024/384/192/64 (models/pointnet2_model.py::FP_WINDOWS).
+
+Run: PYTHONPATH=. python tools/measure_fp_window.py [batch=64] [keys=8]
 """
 
 import os
@@ -33,25 +43,34 @@ jax.config.update("jax_compilation_cache_dir", "/tmp/hcmoco_jax_cache")
 import jax.numpy as jnp  # noqa: E402
 
 from hcmoco_tpu.data.synthetic import synthetic_contrast_batch  # noqa: E402
-from hcmoco_tpu.models.pointnet2_model import depth2pts, NPOINTS  # noqa: E402
+from hcmoco_tpu.models.pointnet2_model import (  # noqa: E402
+    depth2pts, FP_WINDOWS, NPOINTS)
 from hcmoco_tpu.ops.point_ops import (  # noqa: E402
     furthest_point_sample, gather_points, three_nn)
 
-WINDOWS = (64, 128, 256, 512, 1024)
+TN = 256  # window_interpolate's tile size
 
 
 def main() -> None:
-    b = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    for seed in range(3):
-        batch = synthetic_contrast_batch(
-            np.random.default_rng(seed), b, size=320, num_joints=16,
-            n_data=4096)
-        depth = jnp.asarray(batch["rgbd"][..., 3])
+    b = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    keys = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    size, n_data = 320, 8192  # the bench operating shape
+    batch = synthetic_contrast_batch(
+        np.random.default_rng(0), b, size=size, num_joints=16,
+        n_data=n_data)
+    depth = jnp.asarray(batch["rgbd"][..., 3])
+    use_depth = np.asarray(batch["use_depth"])
+    print(f"b={b} size={size} n_data={n_data} "
+          f"valid={int((use_depth > 0).sum())}/{b}")
+
+    max_dev = {}
+    bad_batches = {}
+    for ki in range(keys):
+        key = jax.random.fold_in(jax.random.PRNGKey(0), ki)
         sampled, _, _ = depth2pts(
             depth, jnp.asarray(batch["depth_mask"]),
             jnp.asarray(batch["grid_xy"]), 320.0, 320.0,
-            jnp.asarray(batch["depth_mean"]), jax.random.PRNGKey(seed), 4096)
-        use_depth = np.asarray(batch["use_depth"])
+            jnp.asarray(batch["depth_mean"]), key, n_data)
 
         # replicate the model's l_xyz chain: sorted FPS per level
         l_xyz = [sampled]
@@ -68,20 +87,30 @@ def main() -> None:
             unknown, known = l_xyz[i], l_xyz[i + 1]
             n, m = unknown.shape[1], known.shape[1]
             _, idx = three_nn(unknown, known, impl="xla")
-            base = (np.arange(n) * m) // n
-            rel = np.asarray(idx) - base[None, :, None]
-            for name, sel in (("valid", use_depth > 0),
-                              ("zerocloud", use_depth == 0)):
-                if not sel.any():
-                    continue
-                a = np.abs(rel[sel].reshape(-1))
-                qs = np.percentile(a, [50, 95, 99.9, 100])
-                viol = "  ".join(
-                    f"W{w}:{float((a > w).mean()):.2e}" for w in WINDOWS)
-                print(f"seed{seed} fp{i} N={n:5d} M={m:5d} [{name:9s}] "
-                      f"p50={qs[0]:5.0f} p95={qs[1]:5.0f} "
-                      f"p99.9={qs[2]:5.0f} max={qs[3]:5.0f}  out: {viol}",
-                      flush=True)
+            idx = np.asarray(idx)
+            w = FP_WINDOWS[i]
+            tn = min(TN, n)
+            ts = tn * m // n
+            tw = ts + 2 * w
+            tbase = ((np.arange(n) // tn) * ts)[None, :, None]
+            viol = (idx < tbase - w) | (idx >= tbase - w + tw)
+            pbase = (np.arange(n) * m) // n
+            dev = np.abs(idx - pbase[None, :, None])
+            sel = use_depth > 0  # zero clouds are row-uniform: clamp-exact
+            d = dev[sel].reshape(-1)
+            nbad = int(viol[sel].any(axis=(1, 2)).sum())
+            max_dev[i] = max(max_dev.get(i, 0), int(d.max()))
+            bad_batches[i] = bad_batches.get(i, 0) + (nbad > 0)
+            qs = np.percentile(d, [50, 95, 99.9, 100])
+            print(f"key{ki} fp{i} N={n:5d} M={m:5d} W={w:4d} "
+                  f"p50={qs[0]:4.0f} p95={qs[1]:4.0f} p99.9={qs[2]:4.0f} "
+                  f"max={qs[3]:4.0f} bad_samples={nbad}/{int(sel.sum())}",
+                  flush=True)
+
+    for i in range(4):
+        print(f"fp{i}: max_dev_over_keys={max_dev[i]} "
+              f"W={FP_WINDOWS[i]} margin={FP_WINDOWS[i] / max_dev[i]:.2f}x "
+              f"batches_tripping_cond={bad_batches[i]}/{keys}")
 
 
 if __name__ == "__main__":
