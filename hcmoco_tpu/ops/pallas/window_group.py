@@ -43,6 +43,7 @@ the value dtype, so grads may differ by accumulation rounding only.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import numpy as np
@@ -75,13 +76,42 @@ def _prec(dtype):
             if jnp.dtype(dtype) == jnp.float32 else jax.lax.Precision.DEFAULT)
 
 
+def _load_rows(gidx_ref):
+    """(RB, 1) int32 query rows from the gidx block.
+
+    The block arrives either as (RB, 1) — legacy — or lane-packed as
+    (RB//128, 128): the flat (B, RB, 1) HBM tensor tiles its size-1 lane
+    dim at 1/128 lane utilization (a 128x physical inflation — the
+    relayout copies writing it cost ~6 ms EACH at the sa0 shapes, two
+    per call site fwd + bwd, round-4 profile).  The packed form is a
+    pure bitcast of the row-major ball-query output, so no HBM relayout
+    runs at all.
+
+    The lanes->sublanes unpack CANNOT be a reshape: Mosaic has no
+    (RB//128, 128) -> (RB, 1) shape cast (round-4 on-chip compile error:
+    "infer-vector-layout: unsupported shape cast").  Instead each
+    128-query band transposes via sublane-broadcast + identity mask +
+    lane reduce — sum_l eye[s, l] * band[0, l] = band[0, s] — all plain
+    VPU ops Mosaic lowers, ~16K elementwise ops per band (trivial next
+    to the one-hot MXU dots this feeds)."""
+    g = gidx_ref[...]
+    if g.shape[-1] == 1:
+        return g
+    bands, lanes = g.shape
+    eye = (jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 0)
+           == jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 1))
+    cols = [jnp.sum(jnp.where(eye, g[r:r + 1, :], 0), axis=1, keepdims=True)
+            for r in range(bands)]
+    return jnp.concatenate(cols, axis=0)
+
+
 def _fwd_kernel(gidx_ref, table_ref, out_ref, *, tw, tms, w, n, rsub):
     t = pl.program_id(1)
     ws = t * tms
     win = table_ref[pl.ds(ws, tw), :]  # (TW, C)
     lo = jnp.maximum(0, w - ws)  # clamp to REAL rows inside the window
     hi = jnp.minimum(tw - 1, w + n - 1 - ws)
-    g = gidx_ref[...]  # (RB, 1) int32, unpadded table coords
+    g = _load_rows(gidx_ref)  # (RB, 1) int32, unpadded table coords
     rel = jnp.clip(g + (w - ws), lo, hi)
     rb = g.shape[0]
     for k0 in range(0, rb, rsub):
@@ -97,7 +127,7 @@ def _bwd_kernel(gidx_ref, gout_ref, part_ref, *, tw, tms, w, n, rsub):
     ws = t * tms
     lo = jnp.maximum(0, w - ws)
     hi = jnp.minimum(tw - 1, w + n - 1 - ws)
-    g = gidx_ref[...]
+    g = _load_rows(gidx_ref)
     rel = jnp.clip(g + (w - ws), lo, hi)
     rb = g.shape[0]
     # bf16 cotangents are exact under a single bf16 pass (the one-hot side
@@ -124,7 +154,8 @@ def _windowed_gather(table_pad, gidx_flat, w, tms, n, interpret):
 
 def _windowed_gather_fwd(table_pad, gidx_flat, w, tms, n, interpret):
     b, npad, c = table_pad.shape
-    rb = gidx_flat.shape[1]
+    # gidx_flat is (B, RB, 1) legacy or lane-packed (B, RB//128, 128)
+    rb = gidx_flat.shape[1] * gidx_flat.shape[2]
     t_tiles = n // tms
     tw = tms + 2 * w
     rsub = min(_RSUB, rb // t_tiles)
@@ -132,7 +163,8 @@ def _windowed_gather_fwd(table_pad, gidx_flat, w, tms, n, interpret):
         functools.partial(_fwd_kernel, tw=tw, tms=tms, w=w, n=n, rsub=rsub),
         grid=(b, t_tiles),
         in_specs=[
-            pl.BlockSpec((None, rb // t_tiles, 1), lambda i, j: (i, j, 0),
+            pl.BlockSpec((None, gidx_flat.shape[1] // t_tiles,
+                          gidx_flat.shape[2]), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, npad, c), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -152,7 +184,7 @@ def _windowed_gather_bwd(w, tms, n, interpret, res, gout):
     b, _, c = gout.shape
     npad = n + 2 * w
     tdtype = dtype_token.dtype
-    rb = gidx_flat.shape[1]
+    rb = gidx_flat.shape[1] * gidx_flat.shape[2]
     t_tiles = n // tms
     tw = tms + 2 * w
     k = tw // tms
@@ -161,7 +193,8 @@ def _windowed_gather_bwd(w, tms, n, interpret, res, gout):
         functools.partial(_bwd_kernel, tw=tw, tms=tms, w=w, n=n, rsub=rsub),
         grid=(b, t_tiles),
         in_specs=[
-            pl.BlockSpec((None, rb // t_tiles, 1), lambda i, j: (i, j, 0),
+            pl.BlockSpec((None, gidx_flat.shape[1] // t_tiles,
+                          gidx_flat.shape[2]), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, rb // t_tiles, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
@@ -222,7 +255,18 @@ def window_group(table: jnp.ndarray, gidx: jnp.ndarray, *, window: int,
     ok = ~jnp.any(viol & ~rowuni[:, None, None])
 
     table_pad = jnp.pad(table, ((0, 0), (w, w), (0, 0)))
-    gidx_flat = gidx.reshape(b, m * s, 1)
+    # lane-pack the query rows when each tile's row count divides by 128:
+    # (B, RB//128, 128) is a bitcast of the row-major (B, M, S) gather
+    # index, where the legacy (B, RB, 1) form tiles its size-1 lane dim at
+    # 1/128 utilization and cost two ~6 ms HBM relayout copies per sa0
+    # call (round-4 profile; see _load_rows).  HCMOCO_WG_PACKIDX=0 opts
+    # back into the legacy layout.
+    rb = m * s
+    t_tiles = m // tm
+    pack = ((rb // t_tiles) % 128 == 0
+            and os.environ.get("HCMOCO_WG_PACKIDX", "1") == "1")
+    gidx_flat = (gidx.reshape(b, rb // 128, 128) if pack
+                 else gidx.reshape(b, rb, 1))
     interpret = not on_tpu
 
     def fast(tab_p, gi):

@@ -110,6 +110,32 @@ class TestWindowGroup:
         np.testing.assert_array_equal(np.asarray(out),
                                       np.asarray(_xla(table, gidx)))
 
+    @pytest.mark.parametrize("s,tm", [(16, 8), (32, 16)])
+    def test_lane_packed_index_path(self, s, tm, monkeypatch):
+        # (rb // t_tiles) % 128 == 0 engages the lane-packed gidx layout
+        # (window_group.py::_load_rows — one band at s=16/tm=8, four bands
+        # at s=32/tm=16); must match the legacy layout AND the XLA gather
+        # exactly, forward and grad.
+        rng = np.random.default_rng(7)
+        n, m, c = 256, 256, 8
+        table = jnp.asarray(rng.standard_normal((2, n, c)).astype(np.float32))
+        gidx = jnp.asarray(_local_gidx(rng, 2, m, s, n, spread=12))
+        cot = jnp.asarray(rng.standard_normal((2, m, s, c)).astype(np.float32))
+
+        def run(t):
+            return window_group(t, gidx, window=16, tm=tm, force=True)
+
+        out, grad = run(table), jax.grad(
+            lambda t: jnp.sum(run(t) * cot))(table)
+        monkeypatch.setenv("HCMOCO_WG_PACKIDX", "0")
+        out_legacy, grad_legacy = run(table), jax.grad(
+            lambda t: jnp.sum(run(t) * cot))(table)
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(_xla(table, gidx)))
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(out_legacy))
+        np.testing.assert_array_equal(np.asarray(grad), np.asarray(grad_legacy))
+
     def test_round_window(self):
         assert _round_window(224, 64) == (224, 8)
         assert _round_window(1, 64) == (32, 2)

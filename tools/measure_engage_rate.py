@@ -5,13 +5,12 @@ run behind a whole-batch `lax.cond`: ONE non-row-uniform sample with an
 out-of-window index sends that call back to the exact XLA path for the
 whole step.  A profile shows which branch ran during ITS capture window,
 but the engage RATE over many sampling keys is what the e2e number
-actually averages — round 4 found the FP kernel had silently never
-engaged (FP0's w=512 was violated in ~25% of steps at the bench shape,
-and PERF.md's "kernel loses 1%" entry was really measuring fallback
-overhead).  This tool replicates the model's index pipeline (depth2pts ->
-sorted FPS -> ball_query / three_nn) at the bench shape and evaluates the
-EXACT cond predicates of both kernels for every SA level/scale and FP
-level over K sampling keys.
+actually averages.  This tool replicates the model's index pipeline
+(depth2pts -> sorted FPS -> ball_query / three_nn) at the bench shape
+and evaluates the EXACT cond predicates of both kernels for every SA
+level/scale and FP level over K sampling keys.  (See the N_POINTS note:
+the first revision sampled the wrong point count and measured a phantom
+geometry.)
 
 Run on the TPU (or CPU, slower): PYTHONPATH=. python
 tools/measure_engage_rate.py [keys=20] [batch=64]
@@ -42,6 +41,14 @@ from hcmoco_tpu.ops.point_ops import (  # noqa: E402
 
 TM = 64   # window_group centers/tile
 TN = 256  # window_interpolate unknowns/tile
+# the MODEL samples pn_num_points=4096 from the n_data-point cloud
+# (core/config.py:236, models/pointnet2_model.py::HCMoCoPN.n_points);
+# an earlier revision of this probe passed n_data as the sample count,
+# which shifted every SA/FP level one step coarser and measured a
+# PHANTOM geometry (its "sa0 never engages / fp0 window too small"
+# findings were artifacts — the round-4 profile's branch_1_fun shapes
+# pin the real sa0 at N=M=4096, stride 1)
+N_POINTS = 4096
 
 
 def _sa_viol(gidx, n, window):
@@ -68,9 +75,9 @@ def _fp_viol(idx, m, window):
     return jnp.any(viol, axis=(1, 2))
 
 
-def step_predicates(depth, mask, grid_xy, dmean, key, n_data):
+def step_predicates(depth, mask, grid_xy, dmean, key, n_points):
     sampled, _, _ = depth2pts(depth, mask, grid_xy, 320.0, 320.0,
-                              dmean, key, n_data)
+                              dmean, key, n_points)
     rowuni = jnp.all(sampled == sampled[:, :1, :], axis=(1, 2))
 
     l_xyz = [sampled]
@@ -117,7 +124,8 @@ def main() -> None:
     trip = {}
     for ki in range(keys):
         key = jax.random.fold_in(jax.random.PRNGKey(0), ki)
-        out = jax.device_get(fn(depth, mask, grid_xy, dmean, key, n_data))
+        out = jax.device_get(fn(depth, mask, grid_xy, dmean, key,
+                                N_POINTS))
         for k, v in out.items():
             trip[k] = trip.get(k, 0) + bool(v)
     for k in sorted(trip):

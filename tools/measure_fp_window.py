@@ -18,12 +18,15 @@ Evaluates BOTH statistics:
     is what decides whether the kernel engages end to end.
 
 METHODOLOGY NOTE (round 4): the windows must be sized at the REAL
-operating shape.  The original 3-seed b=4 n_data=4096 measurement gave
-maxima 334/132/46/18 and 2x windows (512/256/128/64); at the bench shape
-(b=64, crop 320, n_data=8192) the valid-cloud tail reaches 663/228/81/23
-over 8 sampling keys, and ONE out-of-window sample trips the whole-batch
-cond — so the kernel never engaged until the windows were re-sized to
-1024/384/192/64 (models/pointnet2_model.py::FP_WINDOWS).
+operating shape — b=64 bench batches AND the model's true sample count.
+Two successive sizing bugs were caught here: (1) the original 3-seed
+b=4 measurement missed the b=64 tail; (2) the first b=64 re-measurement
+passed n_data=8192 as depth2pts' SAMPLE count, but the model samples
+pn_num_points=4096 (core/config.py:236) — so it sized a PHANTOM
+geometry whose levels sit one step coarser than the real ones (its
+"fp0 needs w=1024" applied to a level that doesn't exist; the real fp0
+interpolates a level onto ITSELF, N=M=4096).  Current numbers below
+come from the fixed pipeline.
 
 Run: PYTHONPATH=. python tools/measure_fp_window.py [batch=64] [keys=8]
 """
@@ -49,6 +52,10 @@ from hcmoco_tpu.ops.point_ops import (  # noqa: E402
     furthest_point_sample, gather_points, three_nn)
 
 TN = 256  # window_interpolate's tile size
+# the model samples pn_num_points=4096 (see
+# measure_engage_rate.py N_POINTS note: an earlier revision
+# passed n_data here and measured a phantom geometry)
+N_POINTS = 4096
 
 
 def main() -> None:
@@ -70,7 +77,7 @@ def main() -> None:
         sampled, _, _ = depth2pts(
             depth, jnp.asarray(batch["depth_mask"]),
             jnp.asarray(batch["grid_xy"]), 320.0, 320.0,
-            jnp.asarray(batch["depth_mean"]), key, n_data)
+            jnp.asarray(batch["depth_mean"]), key, N_POINTS)
 
         # replicate the model's l_xyz chain: sorted FPS per level
         l_xyz = [sampled]

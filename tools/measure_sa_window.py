@@ -1,12 +1,11 @@
 """Size the SA-level locality windows (SA_WINDOWS) at the BENCH shape.
 
-Round 4's engage-rate probe (tools/measure_engage_rate.py) showed the
-corrected FP windows engage 20/20 — but sa0.0 engages only ~35% and
-sa0.1 NEVER (0/20): the SA windows were sized on b=4/n_data=4096 batches
-(tools/measure_group_window.py) and the bench's b=64/n_data=8192 tail
-violates them, sending BOTH the windowed ball query and the windowed
-grouping kernel to their exact fallbacks most steps (one bad sample
-trips each whole-batch cond).
+Computes the exact per-sample required half-window of both windowed-
+kernel predicates so SA_WINDOWS can be set (or certified) from measured
+tails at the real operating shape rather than small-batch estimates.
+(The first revision of the round-4 probes sampled n_data points instead
+of the model's pn_num_points=4096 and reported phantom under-sizing —
+see measure_engage_rate.py's N_POINTS note.)
 
 For every SA level x scale this tool computes, over K sampling keys at
 the bench shape, the exact per-sample REQUIRED half-window of both
@@ -52,7 +51,10 @@ from hcmoco_tpu.ops.point_ops import (  # noqa: E402
 
 TM = 64      # window_group centers/tile
 CHUNK_M = 128  # ball_query_windowed centers/chunk
-CAND = (256, 384, 512, 768, 1024, 1536, 2048)
+CAND = (128, 192, 256, 384, 512, 768, 1024)
+# the model samples pn_num_points=4096 from the n_data cloud
+# (see measure_engage_rate.py N_POINTS note)
+N_POINTS = 4096
 
 
 def _inradius_lane_extremes(xyz, new_xyz, r2, bchunk=8):
@@ -110,7 +112,7 @@ def main() -> None:
         sampled, _, _ = depth2pts(
             depth, jnp.asarray(batch["depth_mask"]),
             jnp.asarray(batch["grid_xy"]), 320.0, 320.0,
-            jnp.asarray(batch["depth_mean"]), key, n_data)
+            jnp.asarray(batch["depth_mean"]), key, N_POINTS)
 
         l_xyz = [sampled]
         for lvl in range(4):
@@ -141,7 +143,7 @@ def main() -> None:
         wb = np.concatenate(need_bq[(lvl, sc)])
         wg = np.concatenate(need_wg[(lvl, sc)])
         cur = SA_WINDOWS[lvl][sc]
-        n, m = (NPOINTS[lvl - 1] if lvl else n_data), NPOINTS[lvl]
+        n, m = (NPOINTS[lvl - 1] if lvl else N_POINTS), NPOINTS[lvl]
         # whole-batch engage: every valid sample of a step must fit
         nb = wb.reshape(keys, -1)
         trips = "  ".join(
