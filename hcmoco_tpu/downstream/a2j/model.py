@@ -20,6 +20,7 @@ from flax import linen as nn
 
 from ...core.config import HRNET_CONFIGS
 from ...models.hrnet import HRNet, merge_all_res
+from ...models.resnet import ResBottleneck
 
 Dtype = Any
 
@@ -82,4 +83,82 @@ class A2JHRNet(nn.Module):
         depth_reg = AnchorHead(1, self.num_anchors, self.num_classes,
                                dtype=self.dtype,
                                name="DepthRegressionModel")(merged, train)
+        return cls, reg, depth_reg
+
+
+class A2JResNetBackbone(nn.Module):
+    """Legacy A2J ResNet50 backbone (A2J/resnet.py:99-161): torchvision
+    stem (SINGLE maxpool — unlike pycontrast's double-maxpool quirk),
+    layer4 at stride 1 with dilation 2 on its non-first blocks, so layer3
+    AND layer4 both sit at stride 16.  Returns (x3, x4) = (1024ch, 2048ch)
+    per `ResNetBackBone.forward` (A2J/model.py:155-173)."""
+
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        x = x.astype(self.dtype)
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3)] * 2,
+                    use_bias=False, dtype=self.dtype, name="stem_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="stem_bn")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1)] * 2)
+
+        # (features, n_blocks, stride, dilation-of-later-blocks)
+        stages = ((64, 3, 1, 1), (128, 4, 2, 1), (256, 6, 2, 1),
+                  (512, 3, 1, 2))
+        x3 = None
+        for stage, (feats, n_blocks, stride, dil) in enumerate(stages):
+            for b in range(n_blocks):
+                x = ResBottleneck(
+                    feats,
+                    stride=stride if b == 0 else 1,
+                    downsample=b == 0,
+                    # A2J/resnet.py:142-145: the first block of each stage
+                    # is built without the dilation kwarg (dilation 1);
+                    # later blocks carry the stage dilation
+                    dilation=1 if b == 0 else dil,
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_block{b}",
+                )(x, train)
+            if stage == 2:
+                x3 = x
+        return x3, x
+
+
+class A2JResNet(nn.Module):
+    """Legacy ResNet50 A2J variant (`A2J_model`, A2J/model.py:177-195).
+
+    HCMoCo's experiments use the HRNet variant; this one is the original
+    A2J configuration (main.py:296-300): classification head on layer3
+    (1024ch), regression + depth heads on layer4 (2048ch), 16 anchors per
+    stride-16 cell (P_h=P_w=None -> the [2,6,10,14]^2 default grid,
+    anchor.py:7-25).
+    """
+
+    num_classes: int = 15
+    num_anchors: int = 16
+    is_3d: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, depth: jnp.ndarray, train: bool = True):
+        """depth: (B, H, W) or (B, H, W, 1) mean-normalized depth crop."""
+        if depth.ndim == 3:
+            depth = depth[..., None]
+        x = jnp.repeat(depth.astype(self.dtype), 3, axis=-1)
+        x3, x4 = A2JResNetBackbone(dtype=self.dtype, name="Backbone")(
+            x, train)
+        cls = AnchorHead(1, self.num_anchors, self.num_classes,
+                         dtype=self.dtype,
+                         name="classificationModel")(x3, train)
+        reg = AnchorHead(2, self.num_anchors, self.num_classes,
+                         dtype=self.dtype,
+                         name="regressionModel")(x4, train)
+        if not self.is_3d:
+            return cls, reg
+        depth_reg = AnchorHead(1, self.num_anchors, self.num_classes,
+                               dtype=self.dtype,
+                               name="DepthRegressionModel")(x4, train)
         return cls, reg, depth_reg

@@ -22,6 +22,11 @@ def build_argparser():
     p.add_argument("--bndbox_test", type=str, default="")
     p.add_argument("--pretrained_pth", type=str, default="")
     p.add_argument("--width", type=int, default=18)
+    p.add_argument("--arch", type=str, default="hrnet",
+                   choices=("hrnet", "resnet50"),
+                   help="hrnet = HCMoCo's A2J_HRNet_model (stride-4 "
+                        "anchors, main.py:289-295); resnet50 = the legacy "
+                        "A2J_model (stride-16 anchors, main.py:296-300)")
     p.add_argument("--epochs", type=int, default=35)
     p.add_argument("--batch_size", type=int, default=12)
     p.add_argument("--learning_rate", type=float, default=3.5e-4)
@@ -47,7 +52,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
     import optax
-    from .model import A2JHRNet
+    from .model import A2JHRNet, A2JResNet
     from .anchors import generate_anchors, shift_anchors, post_process, \
         a2j_loss
     from .data import ITOPDataset, KEYPOINTS, DEPTH_FACTOR
@@ -56,14 +61,22 @@ def main(argv=None):
     from ...utils.meters import MetricLogger
 
     crop = args.crop
-    p_hw = np.array([1, 2, 3])
-    anchors = jnp.asarray(shift_anchors(
-        (crop // 4, crop // 4), 4, generate_anchors(p_hw, p_hw)),
-        jnp.float32)
-
-    model = A2JHRNet(num_classes=KEYPOINTS, num_anchors=9,
-                     width=args.width,
-                     dtype=jnp.float32 if args.synthetic else jnp.bfloat16)
+    dtype = jnp.float32 if args.synthetic else jnp.bfloat16
+    if args.arch == "resnet50":
+        # legacy configuration (A2J/main.py:296-300): 16 default anchors
+        # ([2,6,10,14]^2) per stride-16 cell
+        anchors = jnp.asarray(shift_anchors(
+            (crop // 16, crop // 16), 16, generate_anchors(None, None)),
+            jnp.float32)
+        model = A2JResNet(num_classes=KEYPOINTS, num_anchors=16,
+                          dtype=dtype)
+    else:
+        p_hw = np.array([1, 2, 3])
+        anchors = jnp.asarray(shift_anchors(
+            (crop // 4, crop // 4), 4, generate_anchors(p_hw, p_hw)),
+            jnp.float32)
+        model = A2JHRNet(num_classes=KEYPOINTS, num_anchors=9,
+                         width=args.width, dtype=dtype)
 
     if args.synthetic:
         n = args.synthetic

@@ -23,6 +23,7 @@ class ResBottleneck(nn.Module):
     downsample: bool = False
     groups: int = 1
     base_width: int = 64
+    dilation: int = 1  # 3x3 conv dilation (A2J legacy layer4, A2J/resnet.py:111)
     dtype: Dtype = jnp.bfloat16
     expansion: int = 4
 
@@ -30,9 +31,11 @@ class ResBottleneck(nn.Module):
     def __call__(self, x, train: bool):
         width = int(self.features * (self.base_width / 64.0)) * self.groups
 
-        def conv_bn(h, f, k, s, name, groups=1):
+        def conv_bn(h, f, k, s, name, groups=1, dilation=1):
+            pad = (k // 2) * dilation
             h = nn.Conv(f, (k, k), strides=(s, s),
-                        padding=[(k // 2, k // 2)] * 2, use_bias=False,
+                        padding=[(pad, pad)] * 2, use_bias=False,
+                        kernel_dilation=(dilation, dilation),
                         feature_group_count=groups, dtype=self.dtype,
                         name=f"{name}_conv")(h)
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
@@ -42,7 +45,7 @@ class ResBottleneck(nn.Module):
         residual = x
         out = nn.relu(conv_bn(x, width, 1, 1, "c1"))
         out = nn.relu(conv_bn(out, width, 3, self.stride, "c2",
-                              groups=self.groups))
+                              groups=self.groups, dilation=self.dilation))
         out = conv_bn(out, self.features * self.expansion, 1, 1, "c3")
         if self.downsample:
             residual = conv_bn(x, self.features * self.expansion, 1,

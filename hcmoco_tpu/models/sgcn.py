@@ -17,7 +17,7 @@ numerically stable adjacency softmax.
 
 from __future__ import annotations
 
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp
@@ -132,15 +132,106 @@ class ResGraphConv(nn.Module):
         return x + out
 
 
+class GraphNonLocal(nn.Module):
+    """1-D non-local block, concatenation pairwise function.
+
+    Behavioral spec: `graph_non_local.py:7-113` (`_NonLocalBlock` with
+    dimension=1, wrapped by `GraphNonLocal`).  Ships in the reference but is
+    unused by HCMoCo's experiments (`create_SGCN.py:13` passes
+    `nodes_group=None`); ported for inventory completeness and reachable via
+    `SemGCN(nodes_group=...)`.
+
+    Channels-last (B, J, C).  The reference's 1x1 Conv1d g/theta/phi are
+    Denses over C; its `concat_project` (2*ic -> 1 conv + ReLU, no bias)
+    factorizes as f[b,i,k] = relu(theta[b,i]@wt + phi[b,k]@wp), so the
+    (B, 2ic, J, J') concat tensor never materializes — the pairwise map is
+    a broadcast add, TPU-friendly.  With bn_layer=True the output BN is
+    zero-init (graph_non_local.py:66-68), so the block is the identity at
+    init — pinned by tests/test_models.py.
+    """
+
+    inter_channels: Optional[int] = None
+    sub_sample: int = 1   # max-pool factor on g/phi over the joint axis
+    bn_layer: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        b, j, c = x.shape
+        ic = self.inter_channels if self.inter_channels else c // 2
+        assert ic > 0
+        kaiming = nn.initializers.kaiming_normal()
+        x = x.astype(jnp.float32)
+
+        g = nn.Dense(ic, kernel_init=kaiming, name="g")(x)
+        theta = nn.Dense(ic, kernel_init=kaiming, name="theta")(x)
+        phi = nn.Dense(ic, kernel_init=kaiming, name="phi")(x)
+        if self.sub_sample > 1:
+            # torch MaxPool1d(kernel=sub_sample): stride = kernel,
+            # truncating; grouped orders are exact multiples so reshape-max
+            jp = j // self.sub_sample
+            g = jnp.max(
+                g[:, : jp * self.sub_sample].reshape(b, jp, self.sub_sample,
+                                                     ic), axis=2)
+            phi = jnp.max(
+                phi[:, : jp * self.sub_sample].reshape(
+                    b, jp, self.sub_sample, ic), axis=2)
+
+        # concat_project: (2ic -> 1) conv, no bias, ReLU
+        w = self.param("concat_project", kaiming, (2 * ic, 1), jnp.float32)
+        ft = theta @ w[:ic]   # (B, J, 1)
+        fp = phi @ w[ic:]     # (B, J', 1)
+        f = nn.relu(ft + jnp.swapaxes(fp, 1, 2))  # (B, J, J')
+        f = f / f.shape[-1]   # f_div_C (graph_non_local.py:103-104)
+
+        y = f @ g             # (B, J, ic)
+        if self.bn_layer:
+            y = nn.Dense(c, kernel_init=kaiming, name="W")(y)
+            y = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                scale_init=nn.initializers.zeros,
+                dtype=jnp.float32, name="W_bn")(y)
+        else:
+            y = nn.Dense(c, kernel_init=nn.initializers.zeros, name="W")(y)
+        return x + y
+
+
+def group_orders(
+        nodes_group: Tuple[Tuple[int, ...], ...]) -> Tuple[list, list]:
+    """grouped/restored joint orders from a nodes_group (sem_gcn.py:74-81)."""
+    grouped = [i for g in nodes_group for i in g]
+    restored = [0] * len(grouped)
+    for i in range(len(restored)):
+        restored[i] = grouped.index(i)
+    return grouped, restored
+
+
+class GroupedNonLocal(nn.Module):
+    """Permute joints into group order, non-local, restore
+    (`_GraphNonLocal`, sem_gcn.py:46-58)."""
+
+    nodes_group: Tuple[Tuple[int, ...], ...]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = True) -> jnp.ndarray:
+        grouped, restored = group_orders(self.nodes_group)
+        out = x[:, jnp.asarray(grouped), :]
+        out = GraphNonLocal(sub_sample=len(self.nodes_group[0]),
+                            name="nonlocal")(out, train)
+        return out[:, jnp.asarray(restored), :]
+
+
 class SemGCN(nn.Module):
     """Full SemGCN: input block + num_layers residual blocks + output conv.
 
     coords_dim = (2, hid_dim) per create_sgcn (create_SGCN.py:13).
+    nodes_group (default None, as every shipped HCMoCo recipe) interleaves
+    grouped non-local blocks per sem_gcn.py:68-87.
     """
 
     hid_dim: int = 128
     num_layers: int = 4
     skeleton: str = "mpii"
+    nodes_group: Optional[Tuple[Tuple[int, ...], ...]] = None
 
     @nn.compact
     def __call__(self, joints2d: jnp.ndarray, train: bool = True):
@@ -148,7 +239,13 @@ class SemGCN(nn.Module):
         x = GraphConvBlock(self.hid_dim, adj, name="gconv_input")(
             joints2d, train
         )
+        if self.nodes_group is not None:
+            assert len(self.nodes_group[0]) > 1  # sem_gcn.py:71-72
+            x = GroupedNonLocal(self.nodes_group, name="nl_input")(x, train)
         for i in range(self.num_layers):
             x = ResGraphConv(self.hid_dim, adj, name=f"res{i}")(x, train)
+            if self.nodes_group is not None:
+                x = GroupedNonLocal(self.nodes_group,
+                                    name=f"nl{i}")(x, train)
         x = SemGraphConv(self.hid_dim, adj, name="gconv_output")(x)
         return x

@@ -11,7 +11,7 @@ import pytest
 from hcmoco_tpu.downstream.a2j.anchors import (
     generate_anchors, shift_anchors, post_process, a2j_loss,
 )
-from hcmoco_tpu.downstream.a2j.model import A2JHRNet
+from hcmoco_tpu.downstream.a2j.model import A2JHRNet, A2JResNet
 from hcmoco_tpu.downstream.a2j.data import (
     crop_human_pcd, evaluation_10cm, pixel2world, world2pixel,
 )
@@ -57,6 +57,43 @@ class TestA2JModel:
         assert cls.shape == (2, n, 15)
         assert reg.shape == (2, n, 15, 2)
         assert dep.shape == (2, n, 15)
+
+
+class TestA2JResNetLegacy:
+    """Legacy ResNet50 A2J variant (A2J/model.py:147-195, main.py:296-300):
+    stride-16 anchors, cls head on layer3 (1024ch), reg/depth on layer4
+    (2048ch, dilated stride-1 so both grids are H/16 x W/16)."""
+
+    def test_head_shapes_and_grid(self):
+        model = A2JResNet(num_classes=15, num_anchors=16,
+                          dtype=jnp.float32)
+        x = jnp.zeros((1, 64, 64, 1))
+        v = model.init(jax.random.PRNGKey(0), x, train=False)
+        cls, reg, dep = model.apply(v, x, train=False)
+        n = (64 // 16) * (64 // 16) * 16  # both heads on the stride-16 grid
+        assert cls.shape == (1, n, 15)
+        assert reg.shape == (1, n, 15, 2)
+        assert dep.shape == (1, n, 15)
+
+    def test_backbone_channels(self):
+        # layer3 -> 1024ch (cls input), layer4 -> 2048ch (reg/depth input),
+        # matching A2J_model's head widths (A2J/model.py:180-184)
+        from hcmoco_tpu.downstream.a2j.model import A2JResNetBackbone
+        bb = A2JResNetBackbone(dtype=jnp.float32)
+        x = jnp.zeros((1, 64, 64, 3))
+        v = bb.init(jax.random.PRNGKey(0), x, train=False)
+        x3, x4 = bb.apply(v, x, train=False)
+        assert x3.shape == (1, 4, 4, 1024)
+        assert x4.shape == (1, 4, 4, 2048)  # stride-1 dilated layer4
+
+    def test_legacy_anchor_grid(self):
+        # P_h=P_w=None -> the 16-anchor [2,6,10,14]^2 default
+        # (anchor.py:7-25)
+        a = generate_anchors(None, None)
+        assert a.shape == (16, 2)
+        assert set(a[:, 0]) == {2, 6, 10, 14}
+        grid = shift_anchors((4, 4), 16, a)
+        assert grid.shape == (4 * 4 * 16, 2)
 
 
 class TestITOPHelpers:

@@ -13,6 +13,7 @@ from hcmoco_tpu.downstream.seg.criterion import (
     cross_entropy_seg, ohem_cross_entropy, confusion_matrix,
     miou_from_confusion, poly_lr,
 )
+from hcmoco_tpu.downstream.seg import metric as seg_metric
 from hcmoco_tpu.downstream.seg.datasets import (
     swap_label_pairs, label_mapper, mapped_pairs, process_depth,
 )
@@ -62,6 +63,62 @@ class TestMetrics:
     def test_poly_lr(self):
         np.testing.assert_allclose(float(poly_lr(0.007, 0, 100)), 0.007)
         assert float(poly_lr(0.007, 50, 100)) < 0.007 / 1.5
+
+
+class TestNumpyMetricModule:
+    """Port of the reference's shipped-but-unused numpy metrics
+    (lib/utils/metric.py:1-112), cross-checked against this repo's
+    confusion-matrix path and hand-computed counts."""
+
+    def _random_case(self, n_class=5, seed=0):
+        rng = np.random.default_rng(seed)
+        label = rng.integers(0, n_class, (2, 8, 8))
+        logits = rng.standard_normal((2, 8, 8, n_class)).astype(np.float32)
+        return label, logits
+
+    def test_scores_matches_confusion_path(self):
+        label, logits = self._random_case()
+        pred = logits.argmax(-1)
+        out = seg_metric.scores([label], [pred], 5)
+        conf = np.asarray(confusion_matrix(jnp.asarray(pred),
+                                           jnp.asarray(label), 5))
+        acc = np.diag(conf).sum() / conf.sum()
+        np.testing.assert_allclose(out["Overall Acc"], acc)
+        _, iou = miou_from_confusion(jnp.asarray(conf))
+        np.testing.assert_allclose(
+            [out["Class IoU"][c] for c in range(5)], np.asarray(iou),
+            rtol=1e-6)
+
+    def test_batch_intersection_union_matches_confusion(self):
+        label, logits = self._random_case(seed=1)
+        inter, union = seg_metric.batch_intersection_union(logits, label, 5)
+        conf = np.asarray(confusion_matrix(
+            jnp.asarray(logits.argmax(-1)), jnp.asarray(label), 5))
+        np.testing.assert_array_equal(inter, np.diag(conf))
+        np.testing.assert_array_equal(
+            union, conf.sum(0) + conf.sum(1) - np.diag(conf))
+
+    def test_batch_pix_accuracy_counts(self):
+        label = np.array([[[0, 1], [2, 0]]])
+        logits = np.zeros((1, 2, 2, 3), np.float32)
+        logits[0, 0, 0, 0] = 1.0  # correct
+        logits[0, 0, 1, 2] = 1.0  # wrong (gt 1)
+        logits[0, 1, 0, 2] = 1.0  # correct
+        logits[0, 1, 1, 1] = 1.0  # wrong (gt 0)
+        correct, labeled = seg_metric.batch_pix_accuracy(logits, label)
+        assert (correct, labeled) == (2, 4)
+
+    def test_sceneparsing_variants_ignore_label_zero(self):
+        # class 0 = unlabeled in the sceneparsing convention
+        # (metric.py:86-112)
+        lab = np.array([[0, 1, 2, 2]])
+        pred = np.array([[1, 1, 2, 1]])
+        correct, labeled = seg_metric.pixel_accuracy(pred, lab)
+        assert (correct, labeled) == (2, 3)  # the gt-0 pixel is excluded
+        inter, union = seg_metric.intersection_and_union(pred, lab, 3)
+        # classes 1..2: inter = [1, 1]; pred areas [2, 1], lab [1, 2]
+        np.testing.assert_array_equal(inter, [1, 1])
+        np.testing.assert_array_equal(union, [2, 2])
 
 
 class TestLabelFlip:

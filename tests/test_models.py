@@ -14,7 +14,8 @@ import pytest
 
 from hcmoco_tpu.core.config import HRNET_W18, TrainConfig, resolve_config
 from hcmoco_tpu.models.hrnet import HRNet, merge_all_res
-from hcmoco_tpu.models.sgcn import SemGCN, skeleton_adjacency
+from hcmoco_tpu.models.sgcn import (GraphNonLocal, SemGCN, group_orders,
+                                    skeleton_adjacency)
 from hcmoco_tpu.models.build import HCMoCoModel, build_model
 from hcmoco_tpu.models.heads import l2_normalize, gaussian_blur_nhwc
 
@@ -73,6 +74,79 @@ class TestSemGCN:
         np.testing.assert_allclose(a.sum(1), 1.0, rtol=1e-5)
         # symmetric support
         assert ((a > 0) == (a > 0).T).all()
+
+
+class TestGraphNonLocal:
+    """Port of the reference's shipped-but-unused non-local block
+    (graph_non_local.py:7-113, reachable via SemGCN(nodes_group=...))."""
+
+    def test_identity_at_init(self):
+        # W's BN weight is zero-initialized (graph_non_local.py:66-68), so
+        # the block is the identity at init — the standard non-local trick
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, 16, 32))
+        model = GraphNonLocal(sub_sample=2)
+        variables = model.init(jax.random.PRNGKey(1), x, train=False)
+        out = model.apply(variables, x, train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-6)
+
+    def test_factorized_pairwise_matches_explicit_concat(self):
+        """f[b,i,k] = relu(concat(theta_i, phi_k) @ w) — the reference
+        materializes the (B, 2ic, N, N') concat (graph_non_local.py:85-101);
+        we factorize it into a broadcast add.  Same params => same f."""
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 8, 16)), jnp.float32)
+        model = GraphNonLocal(bn_layer=False)
+        variables = model.init(jax.random.PRNGKey(2), x, train=False)
+        # W is zero-init (identity at init); randomize it so the pairwise
+        # path actually reaches the output
+        variables["params"]["W"]["kernel"] = jnp.asarray(
+            rng.standard_normal((8, 16)), jnp.float32)
+        p = variables["params"]
+        ic = 8
+        theta = np.asarray(x @ p["theta"]["kernel"] + p["theta"]["bias"])
+        phi = np.asarray(x @ p["phi"]["kernel"] + p["phi"]["bias"])
+        g = np.asarray(x @ p["g"]["kernel"] + p["g"]["bias"])
+        w = np.asarray(p["concat_project"])
+        # explicit reference-shaped pairwise map
+        f = np.zeros((2, 8, 8), np.float32)
+        for i in range(8):
+            for k in range(8):
+                cat = np.concatenate([theta[:, i], phi[:, k]], -1)
+                f[:, i, k] = np.maximum(cat @ w, 0.0)[:, 0]
+        y = (f / 8.0) @ g
+        expect = np.asarray(x) + y @ np.asarray(p["W"]["kernel"]) \
+            + np.asarray(p["W"]["bias"])
+        out = model.apply(variables, x, train=False)
+        np.testing.assert_allclose(np.asarray(out), expect, atol=1e-5)
+
+    def test_group_orders_inverse(self):
+        grouped, restored = group_orders(((2, 3), (0, 1), (5, 4)))
+        assert grouped == [2, 3, 0, 1, 5, 4]
+        assert [grouped[r] for r in restored] == list(range(6))
+
+    def test_semgcn_nodes_group_forward(self):
+        # an even 2-partition of the 16 MPII joints exercises the grouped
+        # non-local interleaving (sem_gcn.py:68-87)
+        groups = tuple((i, i + 1) for i in range(0, 16, 2))
+        model = SemGCN(32, 2, "mpii", nodes_group=groups)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 2))
+        variables = model.init(jax.random.PRNGKey(1), x, train=False)
+        out = model.apply(variables, x, train=False)
+        assert out.shape == (2, 16, 32)
+        # non-local blocks appear after the input block and every res block
+        names = set(variables["params"].keys())
+        assert {"nl_input", "nl0", "nl1"} <= names
+        # at init the non-local blocks are identities -> equals the
+        # nodes_group=None model with the shared params transplanted
+        base = SemGCN(32, 2, "mpii")
+        shared = {
+            col: {k: v for k, v in variables[col].items()
+                  if not k.startswith("nl")}
+            for col in ("params", "batch_stats")
+        }
+        bout = base.apply(shared, x, train=False)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(bout),
+                                   atol=1e-5)
 
 
 class TestHCMoCoModel:
