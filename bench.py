@@ -158,6 +158,11 @@ def main():
     # x 60% achievable MFU — the well-tuned-ResNet-class ceiling,
     # GENEROUS for HRNet's thin branches + the reference's bank gathers.
     # vs_baseline divides by the most favorable-to-the-reference bound.
+    # Regenerate after any train-step/model change:
+    #   python tools/flops_step.py [--arch HRNetPN] [--width N]
+    # (XLA cost analysis of the full jitted step; verify bs-linearity by
+    # running two batch sizes as BASELINE.md does).  Stale constants make
+    # vs_baseline silently wrong — ADVICE r4.
     flops_per_sample = {
         ("HRNet", 18): 79.9e9,   # tools/flops_step.py, bs-linear
         ("HRNet", 48): 385.0e9,  # tools/flops_step.py --width 48

@@ -159,11 +159,11 @@ def _bn_apply_fwd(y, s1, s2, scale, bias, eps):
     # caller rounds to compute dtype right after anyway; rounding inside
     # is the same value, and the cotangent path is unchanged).
     out = out.astype(y.dtype)
-    return (out, mean, var), (y, s1, mean, rstd, scale)
+    return (out, mean, var), (y, s1, mean, rstd, var, scale)
 
 
 def _bn_apply_bwd(eps, res, cts):
-    y, s1, mean, rstd, scale = res
+    y, s1, mean, rstd, var, scale = res
     dout, dmean_ct, dvar_ct = cts
     c = y.shape[-1]
     r = y.reshape(-1, c).shape[0]
@@ -176,7 +176,11 @@ def _bn_apply_bwd(eps, res, cts):
     dy = (dof * (rstd * scale)).reshape(y.shape).astype(y.dtype)
     # out = (y - s1/R) * rstd(var(s1, s2)) * scale + bias
     dmean = -rstd * scale * dbias + dmean_ct
-    dvar = -0.5 * rstd * rstd * scale * dscale + dvar_ct
+    # var = max(0, s2/R - mean^2): when the clamp binds (constant channel,
+    # rounding-negative raw variance) d(var)/d(raw) = 0, so every
+    # contribution through var is masked — matches autodiff of the
+    # unfused path (ADVICE r4)
+    dvar = (-0.5 * rstd * rstd * scale * dscale + dvar_ct) * (var > 0)
     # mean = s1/R; var = s2/R - (s1/R)^2.  R^2 as float: at real shapes
     # (R = B*H*W = 819200) the Python-int R*R overflows the i32 weak-typed
     # jit argument.

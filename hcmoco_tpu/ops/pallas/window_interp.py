@@ -247,6 +247,12 @@ def window_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
     # base ws = (q // TN) * TS, window [ws - W, ws - W + TW)
     tbase = ((jnp.arange(n, dtype=jnp.int32) // tn) * ts)[None, :, None]
     viol = (idx < tbase - window) | (idx >= tbase - window + tw)
+    # Row-uniform carve-out contract (mirrors window_group's): for a
+    # row-uniform sample (e.g. a zero cloud) whose indices violate the
+    # window, forward values are exact under clamping and the row-grad SUM
+    # is preserved, but the kernel backward deposits per-row gradient on
+    # the CLAMPED rows rather than the true rows — safe because
+    # row-uniform samples carry no meaningful per-row upstream gradient.
     rowuni = jnp.all(features == features[:, :1, :], axis=(1, 2))
     ok = ~jnp.any(viol & ~rowuni[:, None, None])
 

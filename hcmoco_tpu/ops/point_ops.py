@@ -285,4 +285,9 @@ def interpolation_weights(dist2: jnp.ndarray) -> jnp.ndarray:
     """1/(d+1e-8) normalized (PointnetFPModule, pointnet2_modules.py:139-143
     — note: applied to SQUARED distances, as in the reference)."""
     recip = 1.0 / (dist2 + 1e-8)
+    # missing neighbours (m<3 known tables) are padded at finfo.max by
+    # three_nn; 1/finfo.max is ~2.9e-39, not the CUDA 1e40 initializer's
+    # exact 0 — zero them so the pre-normalization weight semantics match
+    # bit-for-bit (ADVICE r4)
+    recip = jnp.where(dist2 >= jnp.finfo(dist2.dtype).max, 0.0, recip)
     return recip / jnp.sum(recip, axis=-1, keepdims=True)
