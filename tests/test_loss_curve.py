@@ -16,6 +16,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
 
 GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "golden",
                            "loss_curve_r1.json")
+GOLDEN_PN_PATH = os.path.join(os.path.dirname(__file__), "golden",
+                              "loss_curve_pn_r5.json")
 
 
 def test_curve_matches_golden():
@@ -25,6 +27,27 @@ def test_curve_matches_golden():
         golden = json.load(f)
     curve = run_curve(steps=5, seed=golden["seed"])
     np.testing.assert_allclose(curve, golden["curve"][:5], rtol=1e-4)
+
+
+def test_pn_curve_matches_golden():
+    """HRNetPN training-dynamics canary (VERDICT r4 item 8): a 5-step
+    replay of the stored stage-2 HRNetPN golden (depth2pts -> PN -> NCE
+    through the full jitted step at CPU-tiny shapes).  Regenerate:
+    python tools/loss_curve.py --arch HRNetPN --steps 8 --out
+    tests/golden/loss_curve_pn_r5.json (forced-CPU)."""
+    from loss_curve import run_curve
+
+    with open(GOLDEN_PN_PATH) as f:
+        golden = json.load(f)
+    curve = run_curve(steps=5, seed=golden["seed"], arch="HRNetPN")
+    np.testing.assert_allclose(curve, golden["curve"][:5], rtol=1e-4)
+
+
+def test_pn_curve_decreases():
+    with open(GOLDEN_PN_PATH) as f:
+        golden = json.load(f)
+    c = golden["curve"]
+    assert np.mean(c[-3:]) < np.mean(c[:3])
 
 
 def test_curve_decreases():

@@ -18,7 +18,7 @@ import json
 
 
 def run_curve(steps: int = 20, width: int = 4, batch_size: int = 8,
-              stage2: bool = True, seed: int = 0):
+              stage2: bool = True, seed: int = 0, arch: str = "HRNet"):
     import numpy as np
     import jax
 
@@ -29,12 +29,15 @@ def run_curve(steps: int = 20, width: int = 4, batch_size: int = 8,
     from hcmoco_tpu.data.synthetic import synthetic_contrast_batch
 
     cfg = TrainConfig(
-        modal="RGBD2S", arch="HRNet", width=width,
+        modal="RGBD2S", arch=arch, width=width,
         mem="bank+jointspri3d" if stage2 else "bank",
         linear_feat_map=stage2, pri3d_num_samples_per_image=8,
         nce_k=15, batch_size=batch_size, epochs=4,
         learning_rate=0.05, modality_missing=True,
         compute_dtype="float32", seed=seed,
+        # HRNetPN: tiny point budget keeps the PN stack (depth2pts -> SA ->
+        # FP -> pts2depth) on CPU-feasible shapes while exercising every op
+        pn_num_points=32 if arch == "HRNetPN" else 4096,
         # pin the indexed negative draw the golden was generated with; the
         # default 'counts' mode draws the same distribution from a different
         # RNG stream (equivalence tested in test_contrast.py)
@@ -62,9 +65,11 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--out", type=str, default="")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--arch", type=str, default="HRNet")
     args = p.parse_args(argv)
-    curve = run_curve(steps=args.steps, seed=args.seed)
-    payload = {"steps": args.steps, "seed": args.seed, "curve": curve}
+    curve = run_curve(steps=args.steps, seed=args.seed, arch=args.arch)
+    payload = {"steps": args.steps, "seed": args.seed, "arch": args.arch,
+               "curve": curve}
     if args.out:
         with open(args.out, "w") as f:
             json.dump(payload, f, indent=1)
