@@ -153,7 +153,7 @@ class NTUSkeleton3D(NTURGBDPairs):
         return (crop_pad(np.asarray(img, np.uint8), i, j, h, w),
                 crop_pad(np.asarray(depth), i, j, h, w))
 
-    def load_raw(self, index, raw_output: bool = False):
+    def load_raw(self, index, raw_output: bool = False, out_pair=None):
         """Returns (rgbd HWC6, joints3d, skeleton_dict, crop params).
         Mirrors NTURGBD3DSkeleton.__getitem__(return_resize_param=True).
         Sources come through the _load_region/_skeleton_dict hooks so the
@@ -161,18 +161,25 @@ class NTUSkeleton3D(NTURGBDPairs):
 
         raw_output=True skips host-side normalization: rgbd is returned as
         a dict {"rgb_u8": (H,W,3) uint8, "depth_mm": (H,W) uint16} and the
-        train step normalizes on device (4.7x fewer host->device bytes)."""
+        train step normalizes on device (4.7x fewer host->device bytes).
+
+        out_pair=(rgb_slot, depth_slot): optional preallocated destinations
+        (e.g. batch-array slots) the crop/resample writes into directly —
+        the packed+native path then produces the batch with ZERO extra
+        sample copies (raw_output mode only)."""
         rng = self._rng
         original_h, original_w = self._frame_hw(index)
 
         sk = self._skeleton_dict(index)
-        joints3d = np.array([j for j in sk["joints"][0]["3d_loc"]],
-                            np.float32)
+        # asarray: the packed dataset hands ndarrays straight through (no
+        # 25-element python list rebuild per sample on the hot input path)
+        joints3d = np.asarray(sk["joints"][0]["3d_loc"],
+                              np.float32)
         joints3d = joints3d - joints3d[0]
 
         if self.random_resized_crop:
-            joints2d = np.array([j for j in sk["joints"][0]["d_loc"]],
-                                np.float32)
+            joints2d = np.asarray(sk["joints"][0]["d_loc"],
+                                  np.float32)
             hx0, hx1 = joints2d[:, 1].min(), joints2d[:, 1].max()
             hy0, hy1 = joints2d[:, 0].min(), joints2d[:, 0].max()
             rand_x = int(rng.integers(int(hx0), max(int(hx1), int(hx0) + 1)))
@@ -185,7 +192,8 @@ class NTUSkeleton3D(NTURGBDPairs):
             # sequence: the load/resize consumes no randomness)
             need_flip = bool(rng.random() >= 0.5)
             rgb_arr, depth_arr = self._crop_resize_pair(
-                index, i, j, h, w, self.random_flip and need_flip)
+                index, i, j, h, w, self.random_flip and need_flip,
+                out_pair=out_pair)
         else:
             i, j, h, w = 0, 0, original_w, original_h
             rgb_full, depth_full = self._load_region(
@@ -194,8 +202,13 @@ class NTUSkeleton3D(NTURGBDPairs):
             if self.random_flip and need_flip:
                 rgb_full = rgb_full[:, ::-1]
                 depth_full = depth_full[:, ::-1]
-            rgb_arr = np.ascontiguousarray(rgb_full)
-            depth_arr = np.ascontiguousarray(depth_full)
+            if out_pair is not None:
+                out_pair[0][...] = rgb_full
+                out_pair[1][...] = depth_full
+                rgb_arr, depth_arr = out_pair
+            else:
+                rgb_arr = np.ascontiguousarray(rgb_full)
+                depth_arr = np.ascontiguousarray(depth_full)
 
         params = (i, j, h, w, need_flip, original_h, original_w)
         if raw_output:
@@ -208,17 +221,23 @@ class NTUSkeleton3D(NTURGBDPairs):
         rgbd = np.concatenate([rgb, np.repeat(d[..., None], 3, -1)], -1)
         return rgbd, joints3d, sk, params
 
-    def _crop_resize_pair(self, index, i, j, h, w, flip):
+    def _crop_resize_pair(self, index, i, j, h, w, flip, out_pair=None):
         """(rgb u8 (size,size,3), depth u16 (size,size)): crop window ->
         BILINEAR/NEAREST resize -> optional horizontal flip.  Default: PIL
         (the reference's torchvision path); PackedNTUSkeleton swaps in the
-        bit-exact native core (native/resample.cpp)."""
+        bit-exact native core (native/resample.cpp).  out_pair: optional
+        preallocated destinations (the PIL path copies into them; the
+        native path writes them directly)."""
         rgb_crop, depth_crop = self._load_region(index, i, j, h, w)
         img = Image.fromarray(rgb_crop).resize(self.size, Image.BILINEAR)
         depth = Image.fromarray(depth_crop).resize(self.size, Image.NEAREST)
         if flip:
             img = img.transpose(Image.FLIP_LEFT_RIGHT)
             depth = depth.transpose(Image.FLIP_LEFT_RIGHT)
+        if out_pair is not None:
+            out_pair[0][...] = np.asarray(img, np.uint8)
+            out_pair[1][...] = np.asarray(depth, np.uint16)
+            return out_pair
         return np.asarray(img, np.uint8), np.asarray(depth, np.uint16)
 
     def __getitem__(self, index):

@@ -76,10 +76,14 @@ class PackedNTUSkeleton(NTUSkeleton3D):
                  raw_output: bool = False):
         with open(os.path.join(packed_dir, "meta.json")) as f:
             self.meta = json.load(f)
-        self._rgb = np.load(os.path.join(packed_dir, "rgb.npy"),
-                            mmap_mode="r")
-        self._depth = np.load(os.path.join(packed_dir, "depth.npy"),
-                              mmap_mode="r")
+        # np.asarray: re-view the memmaps as base ndarrays (same pages,
+        # zero copy) — np.memmap.__getitem__/__array_finalize__ cost ~1 ms
+        # of pure python per slice, which at 100s of samples/s on a
+        # 1-core host is a measurable tax on the hot input path
+        self._rgb = np.asarray(np.load(
+            os.path.join(packed_dir, "rgb.npy"), mmap_mode="r"))
+        self._depth = np.asarray(np.load(
+            os.path.join(packed_dir, "depth.npy"), mmap_mode="r"))
         self._joints3d = np.load(os.path.join(packed_dir, "joints3d.npy"))
         self._joints_d = np.load(os.path.join(packed_dir, "joints_d.npy"))
         n = self.meta["n"]
@@ -113,28 +117,48 @@ class PackedNTUSkeleton(NTUSkeleton3D):
         return (crop_pad(self._rgb[index], i, j, h, w),
                 crop_pad(self._depth[index], i, j, h, w))
 
-    def _crop_resize_pair(self, index, i, j, h, w, flip):
+    def _crop_resize_pair(self, index, i, j, h, w, flip, out_pair=None):
         """Native fast path: one C call does crop-window read (straight off
         the mmap frame) + Pillow-bit-exact BILINEAR/NEAREST resample + flip
         (native/resample.cpp; parity: tests/test_native_resample.py).
-        Falls back to the PIL path when the library is unavailable."""
+        out_pair: optional preallocated destinations (batch slots) the
+        resample writes straight into — no per-sample allocation, no
+        collate copy.  Falls back to the PIL path when the library is
+        unavailable."""
         from ..native import resample_lib
 
         lib = resample_lib()
         if lib is None:
-            return super()._crop_resize_pair(index, i, j, h, w, flip)
+            return super()._crop_resize_pair(index, i, j, h, w, flip,
+                                             out_pair=out_pair)
         out_hw = (self.size[1], self.size[0])
+        ro, do = out_pair if out_pair is not None else (None, None)
         rgb = lib.resized_crop_u8(self._rgb[index], i, j, h, w, out_hw,
-                                  flip)
+                                  flip, out=ro)
         depth = lib.resized_crop_nearest_u16(self._depth[index], i, j, h,
-                                             w, out_hw, flip)
+                                             w, out_hw, flip, out=do)
         if rgb is None or depth is None:
-            return super()._crop_resize_pair(index, i, j, h, w, flip)
+            return super()._crop_resize_pair(index, i, j, h, w, flip,
+                                             out_pair=out_pair)
         return rgb, depth
 
+    def getitem_into(self, index, out: Dict[str, np.ndarray], b: int):
+        """Slot-writer protocol (data/pipeline.py::DataSource): produce
+        sample `index` directly into row b of the preallocated batch
+        arrays.  raw_output mode only — this is the zero-copy hot path the
+        device-side normalization enables."""
+        assert self.raw_output
+        _, joints3d, _, _ = self.load_raw(
+            index, raw_output=True,
+            out_pair=(out["rgb_u8"][b], out["depth_mm"][b]))
+        out["joints3d"][b] = joints3d
+        out["index"][b] = np.int32(index)
+
     def _skeleton_dict(self, index):
+        # ndarrays pass straight through load_raw's np.asarray (a python
+        # list rebuild here cost ~0.5 ms/sample on the 1-core host)
         return {"joints": [{
-            "3d_loc": list(self._joints3d[index]),
-            "d_loc": list(self._joints_d[index]),
-            "rgb_loc": list(self._joints_d[index] * 2),
+            "3d_loc": self._joints3d[index],
+            "d_loc": self._joints_d[index],
+            "rgb_loc": self._joints_d[index] * 2,
         }]}

@@ -65,20 +65,63 @@ class DataSource:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         pool = cf.ThreadPoolExecutor(self.num_workers)
         pending = []
+        # slot-writer fast path: a dataset exposing getitem_into(index,
+        # out, b) writes each sample straight into row b of preallocated
+        # batch arrays (the packed+native path resamples directly into the
+        # slot), eliminating the per-sample allocation AND the collate
+        # stack copy — both measurable on a 1-core host
+        into = getattr(self.dataset, "getitem_into", None)
+        if into is not None and not getattr(self.dataset, "raw_output",
+                                            False):
+            into = None  # slot protocol is raw-output-mode only
 
         def make_batch():
             idx = self.sampler.draw(self.batch_size)
-            futs = [pool.submit(self.dataset.__getitem__, int(i))
-                    for i in idx]
-            return futs
+            if into is None:
+                return [pool.submit(self.dataset.__getitem__, int(i))
+                        for i in idx]
+            # batch arrays are allocated from sample 0's shapes by the
+            # FIRST pool job; later slots gate on the allocation event.
+            # Everything flows through the pool in submission order so the
+            # per-sample RNG consumption order matches the legacy
+            # submit-collate path exactly (pinned by
+            # tests/test_packed.py::test_slot_writer_path_matches_collate).
+            out: Dict[str, np.ndarray] = {}
+            ready = threading.Event()
+
+            def first(i):
+                try:
+                    s0 = self.dataset[int(i)]
+                    for k, v in s0.items():
+                        out[k] = np.empty(
+                            (self.batch_size,) + np.shape(v),
+                            np.asarray(v).dtype)
+                        out[k][0] = v
+                finally:
+                    ready.set()
+
+            def rest(i, b):
+                ready.wait()
+                into(int(i), out, b)
+
+            futs = [pool.submit(first, int(idx[0]))]
+            futs += [pool.submit(rest, int(i), b)
+                     for b, i in enumerate(idx) if b > 0]
+            return out, futs
 
         for _ in range(self.prefetch):
             pending.append(make_batch())
         try:
             while True:
-                futs = pending.pop(0)
+                item = pending.pop(0)
                 pending.append(make_batch())
-                yield collate([f.result() for f in futs])
+                if into is None:
+                    yield collate([f.result() for f in item])
+                else:
+                    out, futs = item
+                    for f in futs:
+                        f.result()
+                    yield out
         finally:
             pool.shutdown(wait=False, cancel_futures=True)
 

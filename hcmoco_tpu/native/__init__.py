@@ -105,15 +105,21 @@ class ResampleLib:
 
     def resized_crop_u8(self, frame: np.ndarray, i: int, j: int, h: int,
                         w: int, out_hw: Tuple[int, int],
-                        flip: bool = False) -> Optional[np.ndarray]:
+                        flip: bool = False,
+                        out: Optional[np.ndarray] = None
+                        ) -> Optional[np.ndarray]:
         """frame: (H, W, C) uint8 (C-contiguous; mmap slices fine).
-        Returns (out_h, out_w, C) uint8, PIL-crop+BILINEAR-resize exact."""
+        Returns (out_h, out_w, C) uint8, PIL-crop+BILINEAR-resize exact.
+        `out`: optional preallocated C-contiguous destination (e.g. a batch
+        slot) — the resample writes straight into it, skipping the
+        per-sample allocation + collate copy."""
         if frame.ndim == 2:
             frame = frame[:, :, None]
         if not frame.flags["C_CONTIGUOUS"]:
             frame = np.ascontiguousarray(frame)
         oh, ow = out_hw
-        out = np.empty((oh, ow, frame.shape[2]), np.uint8)
+        if out is None:
+            out = np.empty((oh, ow, frame.shape[2]), np.uint8)
         rc = self._c.resized_crop_u8(
             frame, frame.shape[0], frame.shape[1], frame.shape[2],
             i, j, h, w, oh, ow, int(flip), out)
@@ -121,11 +127,14 @@ class ResampleLib:
 
     def resized_crop_nearest_u16(self, frame: np.ndarray, i: int, j: int,
                                  h: int, w: int, out_hw: Tuple[int, int],
-                                 flip: bool = False) -> Optional[np.ndarray]:
+                                 flip: bool = False,
+                                 out: Optional[np.ndarray] = None
+                                 ) -> Optional[np.ndarray]:
         if not frame.flags["C_CONTIGUOUS"]:
             frame = np.ascontiguousarray(frame)
         oh, ow = out_hw
-        out = np.empty((oh, ow), np.uint16)
+        if out is None:
+            out = np.empty((oh, ow), np.uint16)
         rc = self._c.resized_crop_nearest_u16(
             frame, frame.shape[0], frame.shape[1],
             i, j, h, w, oh, ow, int(flip), out)

@@ -50,6 +50,32 @@ class TestPack:
         assert int(s["use_depth"]) == 1
 
 
+def test_slot_writer_path_matches_collate(packed):
+    """DataSource's getitem_into slot path (native resample writes batch
+    rows in place, zero collate copies) must produce byte-identical batches
+    to the submit-collate path with the same seed (num_workers=1 pins the
+    per-sample RNG consumption order in both)."""
+    from hcmoco_tpu.data.pipeline import DataSource
+
+    _, _, pack, meta = packed
+    n = meta["n"]
+    ds_a = PackedNTUSkeleton(pack, size=32, random_flip=True,
+                             random_resized_crop=True, seed=7,
+                             raw_output=True)
+    ds_b = PackedNTUSkeleton(pack, size=32, random_flip=True,
+                             random_resized_crop=True, seed=7,
+                             raw_output=True)
+    ds_b.getitem_into = None  # force the legacy submit-collate path
+    it_a = iter(DataSource(ds_a, 4, np.ones(n), seed=3, num_workers=1))
+    it_b = iter(DataSource(ds_b, 4, np.ones(n), seed=3, num_workers=1))
+    for _ in range(3):
+        ba, bb = next(it_a), next(it_b)
+        assert set(ba) == set(bb)
+        for k in ba:
+            np.testing.assert_array_equal(ba[k], bb[k])
+            assert ba[k].dtype == bb[k].dtype
+
+
 def test_raw_output_matches_host_normalize(packed):
     """Device-side normalization of the raw uint8/uint16 pipeline output
     must reproduce the host-normalized f32 rgbd exactly (same crop, same
