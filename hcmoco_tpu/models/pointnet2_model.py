@@ -227,9 +227,14 @@ class FPModule(nn.Module):
                  train: bool):
         dist2, idx = three_nn(unknown, known, impl=self.point_impl)
         weight = interpolation_weights(dist2)
-        # opt-in until measured on-chip: HCMOCO_FP_WINDOW=1 (full Pallas
-        # fwd+bwd, e2e -1%) or =fwd (hybrid: Pallas fwd + XLA scatter bwd)
-        fp_env = os.environ.get("HCMOCO_FP_WINDOW", "0")
+        # default ON since the round-5 close-out A/B (PERF.md): full
+        # Pallas fwd+bwd = 132.1 vs 129.5 samples/s/chip @bs64 (2 runs
+        # each) with the bench-shape-sized FP_WINDOWS engaging 20/20
+        # steps on-chip.  (The round-4 "-1%" reading measured PERMANENT
+        # FALLBACK from under-sized windows, not the kernel.)
+        # HCMOCO_FP_WINDOW=0 restores the XLA gather/scatter path;
+        # =fwd keeps the Pallas forward with an XLA scatter backward.
+        fp_env = os.environ.get("HCMOCO_FP_WINDOW", "1")
         fp_win = self.window if fp_env in ("1", "fwd") else 0
         interp = three_interpolate(
             known_feats, idx, weight, window=fp_win,
