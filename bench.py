@@ -66,6 +66,10 @@ def _measure(arch: str, width: int, per_chip: int):
         channel_pad=int(os.environ.get("BENCH_CHANNEL_PAD", "0")),
         pn_remat=os.environ.get("BENCH_PN_REMAT", "0") == "1",
         remat=os.environ.get("BENCH_REMAT", "0") == "1",
+        # scan-microbatched step (PERF.md round-5 experiment): e.g.
+        # BENCH_PER_CHIP=256 BENCH_MICROBATCH=2 runs effective bs256 at
+        # bs128 activation residency
+        microbatch=int(os.environ.get("BENCH_MICROBATCH", "1")),
     ))
     model = build_model(cfg)
     rng = np.random.default_rng(0)

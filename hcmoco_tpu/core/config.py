@@ -236,6 +236,12 @@ class TrainConfig:
     pn_num_points: int = 4096
 
     # precision / parallelism
+    # scan-microbatched step: split the per-step batch into n sequential
+    # microbatches inside ONE jitted step (grad accumulation; BN stats and
+    # bank EMA chain through microbatches).  Activation residency stays at
+    # the microbatch size, so effective batches beyond the HBM limit
+    # become reachable (PERF.md round-5 experiment).
+    microbatch: int = 1
     remat: bool = False  # rematerialize the encoder forward (bigger batch)
     # remat policy: 'conv_out' saves only pre-BN conv outputs (backward
     # recomputes cheap elementwise BN/ReLU, never a conv); 'dots' is the

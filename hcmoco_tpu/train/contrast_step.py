@@ -361,6 +361,44 @@ def make_contrast_train_step(cfg: TrainConfig, model,
         )
         return new_state, metrics
 
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def train_step_microbatch(state: TrainState, batch, rng):
+        """Scan-microbatched step (cfg.microbatch > 1): n sequential
+        microbatches inside one executable, grads accumulated against the
+        SAME params, one optimizer update.  Activation residency = one
+        microbatch (lax.scan reuses the body's buffers), so effective
+        batches past the single-shot HBM limit compile.  BN batch stats
+        and the bank EMA chain through microbatches (each sees the
+        previous one's update — the per-step semantics a reference run
+        with n gradient-accumulation steps would have)."""
+        n = cfg.microbatch
+
+        def split(x):
+            return x.reshape((n, x.shape[0] // n) + x.shape[1:])
+
+        mbs = jax.tree_util.tree_map(split, batch)
+        keys = jax.random.split(rng, n)
+        zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+
+        def body(carry, xs):
+            gacc, bs, mem = carry
+            mb, key = xs
+            (_, (nbs, nmem, metrics)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, bs, mem, mb, key)
+            gacc = jax.tree_util.tree_map(jnp.add, gacc, grads)
+            return (gacc, nbs, nmem), metrics
+
+        (gacc, new_bs, new_memory), mmetrics = jax.lax.scan(
+            body, (zero, state.batch_stats, state.memory), (mbs, keys))
+        grads = jax.tree_util.tree_map(lambda g: g / n, gacc)
+        metrics = jax.tree_util.tree_map(lambda m: m.mean(0), mmetrics)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["learning_rate"] = lr_fn(state.step)
+        return state.replace(
+            step=state.step + 1, params=new_params, batch_stats=new_bs,
+            opt_state=new_opt, memory=new_memory), metrics
+
     def moco_loss_fn(params, params_ema, batch_stats, moco, batch, rng):
         # two augmented crops stacked on channels: (x[..., :c], x[..., c:])
         # (contrast_trainer.py:288-293)
@@ -449,4 +487,8 @@ def make_contrast_train_step(cfg: TrainConfig, model,
             opt_state=new_opt, moco=new_moco, params_ema=new_ema,
         ), metrics
 
-    return moco_train_step if is_moco else train_step
+    if is_moco:
+        return moco_train_step
+    if getattr(cfg, "microbatch", 1) > 1:
+        return train_step_microbatch
+    return train_step

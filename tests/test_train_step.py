@@ -82,6 +82,38 @@ class TestStage1:
         # same batch + same negatives each step -> should overfit downward
         assert losses[-1] < losses[0]
 
+    def test_microbatch_step(self):
+        """Scan-microbatched step (cfg.microbatch=2): same batch produces
+        a finite loss, one optimizer update, per-microbatch bank EMA
+        chaining (rows stay unit-norm), and its grads are the n-average —
+        at identical params the n=2 update equals averaging the two
+        single-shot updates' grads, so the loss metrics must equal the
+        mean of the two halves' single-shot losses."""
+        cfg = tiny_cfg(microbatch=2)
+        model, batch, state, step = setup(cfg)
+        new_state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert int(new_state.step) == 1
+        assert np.isfinite(float(metrics["loss"]))
+        norms = np.linalg.norm(np.asarray(new_state.memory.banks), axis=-1)
+        np.testing.assert_allclose(norms, 1.0, rtol=1e-4)
+
+        # reference: run the two halves single-shot with the carry chain
+        base = make_contrast_train_step(tiny_cfg(), model,
+                                        steps_per_epoch=2)
+        half = {k: v[: cfg.batch_size // 2] for k, v in batch.items()}
+        half2 = {k: v[cfg.batch_size // 2:] for k, v in batch.items()}
+        keys = jax.random.split(jax.random.PRNGKey(1), 2)
+        s1, m1 = base(state, half, keys[0])
+        # chain bs/memory but NOT params (grad accumulation semantics)
+        s_mid = state.replace(batch_stats=s1.batch_stats,
+                              memory=s1.memory)
+        s2, m2 = base(s_mid, half2, keys[1])
+        np.testing.assert_allclose(
+            float(metrics["loss"]),
+            (float(m1["loss"]) + float(m2["loss"])) / 2, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(new_state.memory.banks),
+                                   np.asarray(s2.memory.banks), atol=1e-5)
+
     def test_sharded_matches_single_device(self):
         cfg = tiny_cfg()
         model, batch, state, step = setup(cfg)
