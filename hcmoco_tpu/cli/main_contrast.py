@@ -89,6 +89,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--print_freq", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--compute_dtype", type=str, default=None)
+    p.add_argument("--microbatch", type=int, default=None,
+                   help="scan-microbatched step: split each batch into N "
+                        "sequential microbatches inside one executable "
+                        "(grad accumulation; activation residency = one "
+                        "microbatch)")
     p.add_argument("--num_workers", "-j", type=int, default=8)
     p.add_argument("--max_steps", type=int, default=0,
                    help="stop after N optimizer steps (smoke runs)")

@@ -75,7 +75,50 @@ def main():
     ap.add_argument("--device_rate", type=float, default=0.0,
                     help="samples/s/chip from bench.py, for the overlap "
                          "end-to-end estimate")
+    ap.add_argument("--procs", type=int, default=0,
+                    help="scaling-model mode: run N concurrent copies of "
+                         "this benchmark in separate processes and report "
+                         "the AGGREGATE rate.  On a 1-core box a flat "
+                         "aggregate vs N proves the pipeline is pure "
+                         "per-sample CPU work with no cross-process "
+                         "bottleneck (shared mmap page cache, no locks), "
+                         "i.e. rate scales ~linearly with cores on a real "
+                         "multi-core TPU-VM host")
     args = ap.parse_args()
+
+    if args.procs > 0:
+        import subprocess
+        import time as _t
+
+        if not os.path.exists(os.path.join(FIXTURE, "meta.json")):
+            make_fixture()
+        cmd = [sys.executable, os.path.abspath(__file__),
+               "--batch", str(args.batch), "--steps", str(args.steps),
+               "--crop", str(args.crop)]
+        t0 = _t.perf_counter()
+        procs = [subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                                  stderr=subprocess.DEVNULL)
+                 for _ in range(args.procs)]
+        rates = []
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            rates.append(json.loads(
+                out.decode().strip().splitlines()[-1])["value"])
+        wall = _t.perf_counter() - t0
+        print(json.dumps({
+            "metric": "hcmoco_input_pipeline_scaling",
+            "procs": args.procs,
+            "per_proc_rates": rates,
+            # steady-state aggregate: the timed windows overlap, so the
+            # sum is the concurrent production rate
+            "aggregate_rate": round(sum(rates), 1),
+            # conservative: includes interpreter startup + warmup batches
+            "wall_aggregate_rate": round(
+                args.procs * args.batch * args.steps / wall, 1),
+            "unit": "samples/sec",
+            "host_cores": os.cpu_count(),
+        }))
+        return
 
     if not os.path.exists(os.path.join(FIXTURE, "meta.json")):
         print("building packed fixture...", file=sys.stderr)

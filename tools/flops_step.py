@@ -27,8 +27,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/hcmoco_jax_cache")
+# FLOPS_TPU=1: lower+compile on the real TPU backend and read the
+# OPTIMIZED executable's cost analysis (bytes accessed reflects the real
+# fusion/layout decisions — the roofline denominator for BASELINE.md's
+# ">=4x settled?" decomposition).  Default: forced CPU, HLO-level FLOPs.
+if os.environ.get("FLOPS_TPU", "0") == "1":
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/hcmoco_jax_cache_tpu")
+else:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hcmoco_jax_cache")
 
 import numpy as np  # noqa: E402
 
@@ -44,9 +52,13 @@ def main():
     ap.add_argument("--arch", default="HRNet",
                     choices=["HRNet", "HRNetPN"])
     ap.add_argument("--width", type=int, default=18)
+    ap.add_argument("--batch_sizes", type=str, default="4,8",
+                    help="comma list; use 128 with FLOPS_TPU=1 for the "
+                         "real operating point")
     args = ap.parse_args()
     arch = args.arch
-    for bs in (4, 8):
+    on_tpu = jax.default_backend() == "tpu"
+    for bs in tuple(int(x) for x in args.batch_sizes.split(",")):
         cfg = resolve_config(TrainConfig(
             method="CMCRGBD2S", arch=arch, width=args.width,
             batch_size=bs, epochs=100, learning_rate=0.03, cosine=True,
@@ -60,12 +72,20 @@ def main():
                                    n_data=8192, steps_per_epoch=100)
         step = make_contrast_train_step(cfg, model, steps_per_epoch=100)
         lowered = jax.jit(step).lower(state, batch, jax.random.PRNGKey(0))
-        cost = lowered.cost_analysis()
+        cost = lowered.compile().cost_analysis() if on_tpu \
+            else lowered.cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         f = float(cost.get("flops", float("nan")))
+        b = float(cost.get("bytes accessed", float("nan")))
+        extra = ""
+        if b == b:  # not nan
+            # v5e roofline: 197 TF/s bf16 MXU, 819 GB/s HBM
+            extra = (f"  bytes={b / 1e9:.2f} GB"
+                     f"  hbm_bound={b / 819e9 * 1e3:.1f} ms"
+                     f"  mxu_bound={f / 197e12 * 1e3:.1f} ms")
         print(f"bs={bs} flops={f / 1e9:.2f} G  per-sample="
-              f"{f / bs / 1e9:.3f} G", flush=True)
+              f"{f / bs / 1e9:.3f} G{extra}", flush=True)
 
 
 if __name__ == "__main__":
