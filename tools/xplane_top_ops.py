@@ -22,7 +22,12 @@ from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
 
 def categorize(name: str) -> str:
-    n = name.lower()
+    # Bucket on the op NAME (the HLO lhs), never the full instruction
+    # text: operand lists routinely mention %copy-done/%convolution/...
+    # which mis-bucketed 80% of a capture as copy/transpose (round-5
+    # flagship profile postmortem — the round-4 PERF.md note "operand
+    # names alias" was about exactly this).
+    n = name.split(" = ")[0].lower()
     if "convolution" in n or re.search(r"\bconv", n):
         return "convolution"
     if "dot" in n or "matmul" in n or "einsum" in n:
