@@ -54,6 +54,7 @@ rows are identical and the row-grad SUM is preserved; weights sum to 1).
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -268,5 +269,14 @@ def window_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
     def slow(tab_p, gi, gw):
         return _xla_interp(tab_p[:, window:window + m, :], gi,
                            gw.astype(weight.dtype))
+
+    if os.environ.get("HCMOCO_FP_FORCE_FAST", "0") == "1":
+        # diagnostic / expert mode: skip the exactness cond and always run
+        # the kernel (clamped indexing — exact only when every
+        # non-row-uniform sample is in-window; tools/measure_fp_window.py
+        # certifies that at the bench shape).  Round-5 postmortem tool:
+        # the cond's predicate and its replication probes disagreed, and
+        # this knob separates "kernel value" from "predicate behavior".
+        return fast(table_pad, idx, wgt)
 
     return jax.lax.cond(ok, fast, slow, table_pad, idx, wgt)

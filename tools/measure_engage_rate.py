@@ -39,6 +39,13 @@ from hcmoco_tpu.ops.pallas.window_group import _round_window  # noqa: E402
 from hcmoco_tpu.ops.point_ops import (  # noqa: E402
     ball_query, furthest_point_sample, gather_points, three_nn)
 
+# match the MODEL's op implementation (models/build.py:277): Pallas on
+# TPU, XLA elsewhere.  The round-5 fp0/fp1 fallback postmortem: this
+# probe's first run used the xla impl while the model ran pallas — the
+# different FPS/3-NN tie-breaking gives a different center geometry, so
+# the probe certified windows the real pipeline violates.
+IMPL = "pallas" if jax.default_backend() == "tpu" else "xla"
+
 TM = 64   # window_group centers/tile
 TN = 256  # window_interpolate unknowns/tile
 # the MODEL samples pn_num_points=4096 from the n_data-point cloud
@@ -87,7 +94,8 @@ def step_predicates(depth, mask, grid_xy, dmean, key, n_points):
         if m == xyz.shape[1]:
             l_xyz.append(xyz)
         else:
-            fidx = jnp.sort(furthest_point_sample(xyz, m), axis=-1)
+            fidx = jnp.sort(furthest_point_sample(xyz, m, impl=IMPL),
+                            axis=-1)
             l_xyz.append(gather_points(xyz, fidx))
 
     out = {}
@@ -95,12 +103,12 @@ def step_predicates(depth, mask, grid_xy, dmean, key, n_points):
         xyz, new_xyz = l_xyz[lvl], l_xyz[lvl + 1]
         for sc, (r, s) in enumerate(zip(RADIUS[lvl], NSAMPLE[lvl])):
             win = SA_WINDOWS[lvl][sc]
-            gidx = ball_query(xyz, new_xyz, r, s, window=win)
+            gidx = ball_query(xyz, new_xyz, r, s, impl=IMPL, window=win)
             bad = _sa_viol(gidx, xyz.shape[1], win) & ~rowuni
             out[f"sa{lvl}.{sc}"] = jnp.any(bad)
     for i in range(4):
         unknown, known = l_xyz[i], l_xyz[i + 1]
-        _, idx = three_nn(unknown, known)
+        _, idx = three_nn(unknown, known, impl=IMPL)
         bad = _fp_viol(idx, known.shape[1], FP_WINDOWS[i]) & ~rowuni
         out[f"fp{i}"] = jnp.any(bad)
     return out

@@ -40,8 +40,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/hcmoco_jax_cache")
+# SIZING BUG #3 (round 5): this tool originally forced CPU and XLA point
+# ops, but the model on TPU runs point_impl="pallas" (models/build.py) —
+# the Pallas FPS/3-NN tie-breaking selects DIFFERENT center sets, so
+# windows sized on the XLA geometry under-size the real one (round-5
+# profile: fp0/fp1 cond fell back 20/20 steps while the xla-impl probe
+# said it engaged 20/20).  Measure on the backend and impl the model
+# actually uses: run this ON THE TPU.
+if jax.default_backend() == "tpu":
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/hcmoco_jax_cache_tpu")
+else:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/hcmoco_jax_cache")
 
 import jax.numpy as jnp  # noqa: E402
 
@@ -67,7 +77,9 @@ def main() -> None:
         n_data=n_data)
     depth = jnp.asarray(batch["rgbd"][..., 3])
     use_depth = np.asarray(batch["use_depth"])
-    print(f"b={b} size={size} n_data={n_data} "
+    impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    print(f"b={b} size={size} n_data={n_data} impl={impl} "
+          f"backend={jax.default_backend()} "
           f"valid={int((use_depth > 0).sum())}/{b}")
 
     max_dev = {}
@@ -86,14 +98,14 @@ def main() -> None:
             if m == l_xyz[lvl].shape[1]:
                 l_xyz.append(l_xyz[lvl])
                 continue
-            fidx = furthest_point_sample(l_xyz[lvl], m, impl="xla")
+            fidx = furthest_point_sample(l_xyz[lvl], m, impl=impl)
             fidx = jnp.sort(fidx, axis=-1)
             l_xyz.append(gather_points(l_xyz[lvl], fidx))
 
         for i in range(3, -1, -1):
             unknown, known = l_xyz[i], l_xyz[i + 1]
             n, m = unknown.shape[1], known.shape[1]
-            _, idx = three_nn(unknown, known, impl="xla")
+            _, idx = three_nn(unknown, known, impl=impl)
             idx = np.asarray(idx)
             w = FP_WINDOWS[i]
             tn = min(TN, n)
