@@ -58,9 +58,14 @@ FP_MLPS = ((128, 128), (256, 256), (512, 512), (512, 512))
 # exactness cond, so the kernel silently never engaged e2e (round-4
 # xplane evidence: zero windowed_interp custom-calls under
 # HCMOCO_FP_WINDOW=1 while the XLA FP scatter fusions kept their full
-# default-profile self-times).  Zero clouds are row-uniform ->
-# clamp-exact; anything else out-of-window falls back to the exact XLA
-# path automatically, costing ~25 ms for that step only.
+# default-profile self-times).  Zero clouds (loss-masked invalid
+# samples) collapse their 3-NN indices to ~0 and their FP tables are
+# NOT row-uniform below fp3 (SA bias/BN break uniformity), so they
+# would trip the cond at FP0/FP1 on every real batch — the model passes
+# the depth2pts validity mask as `sample_ok` to exempt them (round-5
+# A/B: 151.4 vs 132.1 samples/s/chip @bs64).  Any VALID sample
+# out-of-window still falls back to the exact XLA path automatically,
+# costing ~25 ms for that step only.
 FP_WINDOWS = (1024, 384, 192, 64)
 # half-windows (table rows) for the windowed one-hot grouping kernel, per
 # SA level x scale: 2x the max |idx - linear_base| measured on
@@ -224,7 +229,7 @@ class FPModule(nn.Module):
 
     @nn.compact
     def __call__(self, unknown, known, unknown_feats, known_feats,
-                 train: bool):
+                 train: bool, sample_ok=None):
         dist2, idx = three_nn(unknown, known, impl=self.point_impl)
         weight = interpolation_weights(dist2)
         # default ON since the round-5 close-out A/B (PERF.md): full
@@ -232,6 +237,11 @@ class FPModule(nn.Module):
         # each) with the bench-shape-sized FP_WINDOWS engaging 20/20
         # steps on-chip.  (The round-4 "-1%" reading measured PERMANENT
         # FALLBACK from under-sized windows, not the kernel.)
+        # `sample_ok` (the depth2pts cloud-validity mask) exempts
+        # loss-masked zero clouds from the kernel's exactness cond —
+        # without it their collapsed 3-NN indices trip the cond at
+        # FP0/FP1 on every real batch (round-5: 151.4 vs 132.1
+        # samples/s/chip @bs64, +14.6%).
         # HCMOCO_FP_WINDOW=0 restores the XLA gather/scatter path;
         # =fwd keeps the Pallas forward with an XLA scatter backward.
         fp_env = os.environ.get("HCMOCO_FP_WINDOW", "1")
@@ -239,7 +249,8 @@ class FPModule(nn.Module):
         interp = three_interpolate(
             known_feats, idx, weight, window=fp_win,
             force_window=os.environ.get("HCMOCO_PN_FORCE_WG") == "1",
-            window_bwd="xla" if fp_env == "fwd" else "kernel")
+            window_bwd="xla" if fp_env == "fwd" else "kernel",
+            sample_ok=sample_ok)
         if unknown_feats is not None:
             interp = jnp.concatenate([interp, unknown_feats], axis=-1)
         return SharedMLP(self.mlp, dtype=self.dtype, name="mlp")(
@@ -260,7 +271,9 @@ class Pointnet2MSG(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, pointcloud, train: bool = True):
+    def __call__(self, pointcloud, train: bool = True, sample_ok=None):
+        # sample_ok (B,) bool: per-sample cloud validity (depth2pts);
+        # threaded into the FP interpolation cond — see FPModule
         xyz = pointcloud[..., :3]
         feats = pointcloud[..., 3:] if pointcloud.shape[-1] > 3 else None
 
@@ -282,7 +295,7 @@ class Pointnet2MSG(nn.Module):
                           window=FP_WINDOWS[i], dtype=self.dtype,
                           name=f"fp{i}")
             l_feats[i] = fp(l_xyz[i], l_xyz[i + 1], l_feats[i],
-                            l_feats[i + 1], train)
+                            l_feats[i + 1], train, sample_ok=sample_ok)
         return l_feats[0]
 
 
@@ -338,7 +351,8 @@ def depth2pts(depth: jnp.ndarray, depth_mask: jnp.ndarray,
 
     depth: (B, H, W) mean-subtracted depth; grid_xy: (B, H, W, 2) original
     pixel coords tracked through the crop; mean: (B,) per-sample depth mean.
-    Returns (sampled_pts (B, n, 3), all_pts (B, H*W, 3), sample_ind).
+    Returns (sampled_pts (B, n, 3), all_pts (B, H*W, 3), sample_ind,
+    valid (B,) bool — True where the image has any valid depth pixel).
     Images with no valid depth yield all-zero points (reference zero-fills
     via the mask scatter, :408-446).
     """
@@ -385,7 +399,7 @@ def depth2pts(depth: jnp.ndarray, depth_mask: jnp.ndarray,
     sampled = jnp.where(valid[:, None, None], sampled, zero)
     pts = jnp.where(valid[:, None, None], pts,
                     jnp.zeros_like(pts))
-    return sampled, pts, sample_ind
+    return sampled, pts, sample_ind, valid
 
 
 def pts2depth(sampled_pts: jnp.ndarray, all_pts: jnp.ndarray,
@@ -428,7 +442,7 @@ class HCMoCoPNModel(nn.Module):
         fm1 = HRNet(hr_cfg, dtype=self.dtype, name="encoder1")(x1, train)
 
         rng = self.make_rng("points") if train else jax.random.PRNGKey(0)
-        sampled, all_pts, _ = depth2pts(
+        sampled, all_pts, _, cloud_ok = depth2pts(
             depth, depth_mask, grid_xy, ori_h, ori_w, mean, rng,
             self.n_points)
         npoints = tuple(max(self.n_points // (4 ** k), 1)
@@ -440,7 +454,7 @@ class HCMoCoPNModel(nn.Module):
         pn = Pointnet2MSG(npoints=npoints, point_impl=self.point_impl,
                           remat_levels=(0, 1) if self.pn_remat else (),
                           dtype=self.dtype, name="encoder2")
-        fm2 = pn(sampled, train)  # (B, n_points, 128)
+        fm2 = pn(sampled, train, sample_ok=cloud_ok)  # (B, n_points, 128)
 
         fj = SemGCN(self.sgcn_dim, 4, self.skeleton_meta,
                     name="encoder3")(skeleton, train)

@@ -49,12 +49,23 @@ whole-batch `lax.cond` falls back to the exact XLA path whenever any
 non-row-uniform sample violates its window (row-uniform tables — zero
 point clouds — are value- and gradient-exact under clamping because all
 rows are identical and the row-grad SUM is preserved; weights sum to 1).
+Callers may additionally pass `sample_ok` (B,) to exempt samples whose
+values no loss consumes (HRNetPN `use_depth`-masked zero clouds): their
+tables are uniform only to ~3e-3 relative (SA bias/BN numerics), so the
+row-uniform carve-out misses them and the cond would otherwise trip on
+every real batch.  Measured leak of the exemption (round-5 probe,
+/tmp/probe_fp_cond3.py at the bench shape): exempt samples' pooled
+features move <=7.4e-3 absolute; valid samples move <=2.0e-3 through
+shared BN batch statistics — bf16-noise order, and those garbage values
+feed only BN stats and bank EMA rows exactly as the reference's own
+zero-cloud garbage does.
 """
 
 from __future__ import annotations
 
 import functools
 import os
+from typing import Optional
 
 import numpy as np
 
@@ -219,7 +230,9 @@ def _xla_interp(features, idx, weight):
 def window_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
                        weight: jnp.ndarray, *, window: int,
                        tn: int = 256, force: bool = False,
-                       bwd: str = "kernel") -> jnp.ndarray:
+                       bwd: str = "kernel",
+                       sample_ok: Optional[jnp.ndarray] = None
+                       ) -> jnp.ndarray:
     """features (B, M, C), idx (B, N, 3) in [0, M), weight (B, N, 3) ->
     (B, N, C) = sum_k weight[..k] * features[idx[..k]].
 
@@ -230,6 +243,20 @@ def window_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
     is unknown points per tile.  `bwd` picks the gradient path: 'kernel'
     (Pallas A^T@gout into a VMEM grad table) or 'xla' (sort-based
     scatter-add — the hybrid mode, windowed fwd only).
+
+    `sample_ok` (B,) bool: samples marked False are EXEMPT from the
+    exactness cond — the kernel's clamped indexing may change their
+    values/gradients relative to the XLA gather.  Callers pass the
+    loss-mask validity here (HRNetPN zero-depth clouds, masked out of
+    every loss term by `use_depth`): their 3-NN indices collapse to ~0,
+    violating far tiles' windows on every real batch and permanently
+    tripping the cond at FP0/FP1 (round-5 probe: 27/64 bench samples,
+    fast path worth +14.6% e2e).  Exempting them keeps the cond as a
+    live safety net for the samples whose values matter while letting
+    the kernel engage.  Leak paths for the changed garbage values (BN
+    batch statistics, memory-bank EMA rows) receive meaningless
+    zero-cloud values either way — the reference feeds its own zero-cloud
+    garbage into both (contrast_trainer.py masks only the loss).
     """
     b, m, c = features.shape
     n = idx.shape[1]
@@ -255,7 +282,8 @@ def window_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
     # the CLAMPED rows rather than the true rows — safe because
     # row-uniform samples carry no meaningful per-row upstream gradient.
     rowuni = jnp.all(features == features[:, :1, :], axis=(1, 2))
-    ok = ~jnp.any(viol & ~rowuni[:, None, None])
+    exempt = rowuni if sample_ok is None else rowuni | ~sample_ok
+    ok = ~jnp.any(viol & ~exempt[:, None, None])
 
     table_pad = jnp.pad(features, ((0, 0), (window, window), (0, 0)))
     wgt = weight.astype(jnp.float32)

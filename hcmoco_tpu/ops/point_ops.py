@@ -30,7 +30,7 @@ XLA fuses the mask/top-k consumer into each chunk.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -260,7 +260,8 @@ def three_nn(unknown: jnp.ndarray, known: jnp.ndarray,
 def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
                       weight: jnp.ndarray, window: int = 0,
                       force_window: bool = False,
-                      window_bwd: str = "kernel") -> jnp.ndarray:
+                      window_bwd: str = "kernel",
+                      sample_ok: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """(B, M, C), (B, N, 3), (B, N, 3) -> (B, N, C) weighted gather
     (interpolate_gpu.cu:77-107); grad = scatter-add via autodiff.
 
@@ -268,12 +269,15 @@ def three_interpolate(features: jnp.ndarray, idx: jnp.ndarray,
     (ops/pallas/window_interp.py) behind a whole-batch exactness cond —
     the FP tables are raster-ordered so 3-NN indices live near the
     linear base floor(q*M/N) (tools/measure_fp_window.py).  window_bwd
-    picks the kernel's gradient path ('kernel' | 'xla' hybrid)."""
+    picks the kernel's gradient path ('kernel' | 'xla' hybrid).
+    `sample_ok` (B,) bool marks samples whose values are consumed by the
+    loss; False samples are exempt from the cond (see window_interpolate)."""
     if window > 0:
         from .pallas.window_interp import window_interpolate
 
         return window_interpolate(features, idx, weight, window=window,
-                                  force=force_window, bwd=window_bwd)
+                                  force=force_window, bwd=window_bwd,
+                                  sample_ok=sample_ok)
     b, n, _ = idx.shape
     g = jnp.take_along_axis(
         features, idx.reshape(b, n * 3, 1).astype(jnp.int32), axis=1)

@@ -115,7 +115,7 @@ class TestDepthBackprojection:
             np.broadcast_to(np.stack([gx, gy], -1), (b, s, s, 2))
         ).astype(jnp.float32)
         mean = jnp.full((b,), 2.0)
-        sampled, pts, ind = depth2pts(depth, mask, grid, 424.0, 512.0,
+        sampled, pts, ind, _ = depth2pts(depth, mask, grid, 424.0, 512.0,
                                       mean, jax.random.PRNGKey(0), 16)
         assert sampled.shape == (b, 16, 3)
         assert pts.shape == (b, s * s, 3)
@@ -129,7 +129,7 @@ class TestDepthBackprojection:
         depth = jnp.ones((b, s, s))
         mask = jnp.zeros((b, s, s))
         grid = jnp.zeros((b, s, s, 2))
-        sampled, pts, _ = depth2pts(depth, mask, grid, 424.0, 512.0,
+        sampled, pts, _, _ = depth2pts(depth, mask, grid, 424.0, 512.0,
                                     jnp.ones((b,)), jax.random.PRNGKey(0), 8)
         np.testing.assert_allclose(np.asarray(sampled), 0.0)
 

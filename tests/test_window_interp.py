@@ -125,6 +125,56 @@ class TestWindowInterpolate:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=1e-6, atol=1e-6)
 
+    def test_sample_ok_exempts_masked_violators(self):
+        """Samples marked sample_ok=False are exempt from the exactness
+        cond: the batch stays on the fast path even when their (wild,
+        non-row-uniform-table) indices violate the window.  Valid samples
+        must stay exact; the masked sample's output must follow the
+        kernel's documented per-tile clamp — the HRNetPN zero-cloud
+        contract (loss-masked samples, see window_interpolate)."""
+        rng = np.random.default_rng(9)
+        n, m, c, w, tn = 256, 64, 8, 16, 64
+        feats = jnp.asarray(rng.standard_normal((2, m, c)).astype(np.float32))
+        idx, wgt = _local_idx_wgt(rng, 2, n, m, spread=10)
+        idx = np.asarray(idx).copy()
+        idx[1] = rng.integers(0, m, (n, 3))  # violating, table NOT uniform
+        ok = jnp.asarray([True, False])
+        out = window_interpolate(feats, jnp.asarray(idx), wgt, window=w,
+                                 tn=tn, force=True, sample_ok=ok)
+        ref = _xla_interp(feats, jnp.asarray(idx), wgt)
+        # valid sample: exact
+        np.testing.assert_allclose(np.asarray(out)[0], np.asarray(ref)[0],
+                                   rtol=1e-6, atol=1e-6)
+        # masked sample: fast path ran (clamped != true gather) and the
+        # values match the per-tile clamp reference
+        ts = tn * m // n
+        base = (np.arange(n) // tn) * ts
+        clamped = np.clip(idx[1], np.maximum(0, base - w)[:, None],
+                          np.minimum(m - 1, base + ts + w - 1)[:, None])
+        ref_clamp = _xla_interp(feats[1:], jnp.asarray(clamped[None]),
+                                wgt[1:])
+        np.testing.assert_allclose(np.asarray(out)[1],
+                                   np.asarray(ref_clamp)[0],
+                                   rtol=1e-6, atol=1e-6)
+        assert not np.allclose(np.asarray(out)[1], np.asarray(ref)[1])
+
+    def test_sample_ok_true_violators_still_fall_back(self):
+        """A violating sample marked sample_ok=True keeps the cond live:
+        the whole batch takes the exact XLA fallback."""
+        rng = np.random.default_rng(10)
+        n, m, c = 256, 64, 8
+        feats = jnp.asarray(rng.standard_normal((2, m, c)).astype(np.float32))
+        idx, wgt = _local_idx_wgt(rng, 2, n, m, spread=10)
+        idx = np.asarray(idx).copy()
+        idx[1] = rng.integers(0, m, (n, 3))
+        out = window_interpolate(feats, jnp.asarray(idx), wgt, window=16,
+                                 tn=64, force=True,
+                                 sample_ok=jnp.asarray([True, True]))
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(_xla_interp(
+                                       feats, jnp.asarray(idx), wgt)),
+                                   rtol=1e-6, atol=1e-6)
+
     def test_bf16_values(self):
         rng = np.random.default_rng(5)
         n, m, c = 256, 64, 8

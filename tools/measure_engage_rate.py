@@ -83,7 +83,7 @@ def _fp_viol(idx, m, window):
 
 
 def step_predicates(depth, mask, grid_xy, dmean, key, n_points):
-    sampled, _, _ = depth2pts(depth, mask, grid_xy, 320.0, 320.0,
+    sampled, _, _, _ = depth2pts(depth, mask, grid_xy, 320.0, 320.0,
                               dmean, key, n_points)
     rowuni = jnp.all(sampled == sampled[:, :1, :], axis=(1, 2))
 

@@ -54,7 +54,7 @@ def main() -> None:
     batch = synthetic_contrast_batch(
         np.random.default_rng(0), b, size=320, num_joints=16, n_data=4096)
     depth = jnp.asarray(batch["rgbd"][..., 3])
-    sampled, _, _ = depth2pts(
+    sampled, _, _, _ = depth2pts(
         depth, jnp.asarray(batch["depth_mask"]),
         jnp.asarray(batch["grid_xy"]), 320.0, 320.0,
         jnp.asarray(batch["depth_mean"]), jax.random.PRNGKey(0), 4096)

@@ -109,7 +109,7 @@ def main() -> None:
     need_wg = {}
     for ki in range(keys):
         key = jax.random.fold_in(jax.random.PRNGKey(0), ki)
-        sampled, _, _ = depth2pts(
+        sampled, _, _, _ = depth2pts(
             depth, jnp.asarray(batch["depth_mask"]),
             jnp.asarray(batch["grid_xy"]), 320.0, 320.0,
             jnp.asarray(batch["depth_mean"]), key, N_POINTS)
