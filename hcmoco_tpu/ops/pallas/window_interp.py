@@ -54,7 +54,7 @@ values no loss consumes (HRNetPN `use_depth`-masked zero clouds): their
 tables are uniform only to ~3e-3 relative (SA bias/BN numerics), so the
 row-uniform carve-out misses them and the cond would otherwise trip on
 every real batch.  Measured leak of the exemption (round-5 probe,
-/tmp/probe_fp_cond3.py at the bench shape): exempt samples' pooled
+tools/probe_fp_exactness.py at the bench shape): exempt samples' pooled
 features move <=7.4e-3 absolute; valid samples move <=2.0e-3 through
 shared BN batch statistics — bf16-noise order, and those garbage values
 feed only BN stats and bank EMA rows exactly as the reference's own
