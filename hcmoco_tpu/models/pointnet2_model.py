@@ -67,11 +67,20 @@ FP_MLPS = ((128, 128), (256, 256), (512, 512), (512, 512))
 # out-of-window still falls back to the exact XLA path automatically,
 # costing ~25 ms for that step only.
 FP_WINDOWS = (1024, 384, 192, 64)
-# half-windows (table rows) for the windowed one-hot grouping kernel, per
-# SA level x scale: 2x the max |idx - linear_base| measured on
-# representative smooth-depth batches (tools/measure_group_window.py).
-# Out-of-window batches fall back to the exact XLA gather automatically.
-SA_WINDOWS = ((224, 480), (640, 896), (512, 512), (256, 256))
+# half-windows (table rows) for the windowed one-hot grouping kernel
+# AND the windowed ball query, per SA level x scale.  Round-5 sizing:
+# tools/measure_sa_window.py computed the exact per-sample REQUIRED
+# half-window of both consumers at the bench shape (b=64, crop 320,
+# n_data=8192, 8 keys) — maxima 62/320, 391/738, 147/268, 0/0 — and the
+# whole-batch trip rate at candidate windows.  Each window is the
+# smallest candidate with 0/8 trips and >=1.15x margin over the
+# measured max (sa1.1 keeps 896: 768 would be 1.04x over 738).  sa3's
+# windows are moot (TW >= N at every candidate; both kernels run
+# unwindowed there).  Out-of-window batches fall back to the exact XLA
+# gather automatically, so tighter windows trade occasional fallback
+# steps for a shorter sweep on every step (cost is linear in
+# TW = tile + 2W).  e2e A/B at bs64: see PERF.md "SA window margin".
+SA_WINDOWS = ((128, 384), (512, 896), (256, 384), (256, 256))
 
 
 class SharedMLP(nn.Module):
