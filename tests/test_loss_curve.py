@@ -1,7 +1,9 @@
-"""Training-dynamics regression: the deterministic stage-2 loss curve must
-reproduce the stored golden (tools/loss_curve.py).  Any unintended change
-to losses, LR schedule, bank updates, or the data synthesizer shows up
-here.  Regenerate deliberately with:
+"""Fast training-dynamics CANARY: a 5-step replay of the deterministic
+stage-2 loss curve against its stored golden (tools/loss_curve.py).  Any
+unintended change to losses, LR schedule, bank updates, or the data
+synthesizer shows up here.  This is the quick-tier guard only — the
+authoritative 100-step reference-parity replays live in
+tests/test_ref_parity.py (slow-marked).  Regenerate deliberately with:
   python -c "..." (see tools/loss_curve.py docstring)
 """
 
